@@ -1,0 +1,195 @@
+package graft.codecs
+
+import graft.core.Bytes
+
+/** In-memory column-chunk vectors — the unit every codec operates on.
+  *
+  * Nulls use a validity array (Spark-native semantics) rather than the
+  * reference's sentinel values (python-blosc2 `schema.py:622-635`,
+  * `ctable.py:118` NullPolicy); see SURVEY.md §1.2 for the mapping.
+  * Strings are carried as UTF-8 byte arrays so the sha256 roundtrip
+  * invariant is over exact bytes.
+  */
+sealed trait ColVec {
+  def n: Int
+  def validity: Array[Boolean] // null => false; null field means all-valid
+  @inline final def isValid(i: Int): Boolean = validity == null || validity(i)
+  def nullCount: Int =
+    if (validity == null) 0 else { var c = 0; var i = 0; while (i < validity.length) { if (!validity(i)) c += 1; i += 1 }; c }
+}
+final case class LongVec(values: Array[Long], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
+final case class DoubleVec(values: Array[Double], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
+/** values(i) == null allowed iff validity(i) == false. */
+final case class BinVec(values: Array[Array[Byte]], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
+
+object ColType {
+  val LONG: Byte = 0
+  val DOUBLE: Byte = 1
+  val BIN: Byte = 2
+}
+
+/** Method ids — the lightweight-compression stage (the analog of the
+  * reference's 6-slot filter pipeline + special-value chunks,
+  * python-blosc2 `storage.py:19-27`, `__init__.py:134-162,176-185`).
+  */
+object Method {
+  // shared
+  val PLAIN: Byte = 0
+  val CONST: Byte = 1 // special-value chunk: whole chunk is one value
+  // longs
+  val RLE: Byte = 2 // run-length (value, runLen) pairs
+  val FOR_PACK: Byte = 3 // frame-of-reference + bit-pack
+  val DELTA_PACK: Byte = 4 // delta + zigzag + FOR bit-pack
+  // doubles
+  val SHUFFLE: Byte = 5 // byte transpose (blosc2 SHUFFLE filter analog)
+  // strings / binary
+  val DICT: Byte = 6 // chunk-local dictionary, bit-packed codes
+  val FSST: Byte = 7 // symbol-table byte compression (FSST-style)
+
+  def name(m: Byte): String = m match {
+    case PLAIN => "plain"
+    case CONST => "const"
+    case RLE => "rle"
+    case FOR_PACK => "for"
+    case DELTA_PACK => "delta"
+    case SHUFFLE => "shuffle"
+    case DICT => "dict"
+    case FSST => "fsst"
+    case _ => s"m$m"
+  }
+}
+
+/** Entropy (general-purpose) stage applied after the lightweight method —
+  * the analog of the reference's codec slot (blosclz/lz4/zstd,
+  * python-blosc2 `__init__.py:108-131`). Backed by the zstd-jni / lz4-java
+  * libraries that ship with Apache Spark.
+  */
+object Entropy {
+  val NONE: Byte = 0
+  val LZ4: Byte = 1
+  val ZSTD: Byte = 2
+
+  private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  def name(e: Byte): String = e match {
+    case NONE => "none"
+    case LZ4 => "lz4"
+    case ZSTD => "zstd"
+    case _ => s"e$e"
+  }
+
+  def compress(e: Byte, level: Int, raw: Array[Byte]): Array[Byte] = e match {
+    case NONE => raw
+    case ZSTD => com.github.luben.zstd.Zstd.compress(raw, level)
+    case LZ4 =>
+      val c = lz4.fastCompressor()
+      val out = new Array[Byte](c.maxCompressedLength(raw.length))
+      val n = c.compress(raw, 0, raw.length, out, 0)
+      java.util.Arrays.copyOf(out, n)
+    case _ => throw new IllegalArgumentException(s"entropy $e")
+  }
+
+  def decompress(e: Byte, comp: Array[Byte], rawLen: Int): Array[Byte] = e match {
+    case NONE => comp
+    case ZSTD =>
+      val out = new Array[Byte](rawLen)
+      com.github.luben.zstd.Zstd.decompress(out, comp)
+      out
+    case LZ4 =>
+      val out = new Array[Byte](rawLen)
+      lz4.fastDecompressor().decompress(comp, 0, out, 0, rawLen)
+      out
+    case _ => throw new IllegalArgumentException(s"entropy $e")
+  }
+}
+
+/** A per-column-chunk compression plan: lightweight method + entropy codec.
+  * The tuner (graft.encode.Selector) picks one per column × chunk, playing
+  * the role of blosc2's STUNE/BTUNE (`__init__.py:188-198`).
+  */
+final case class Plan(method: Byte, entropy: Byte, level: Int = 3) {
+  def label: String = s"${Method.name(method)}+${Entropy.name(entropy)}"
+}
+
+/** Self-describing encoded column-chunk block.
+  *
+  * Layout: [magic][ver][colType][method][entropy][level]
+  *         [nRows][nullCount][rawLen][payload...]
+  * where payload = entropy(methodBody) and methodBody starts with the
+  * validity bitmap when nullCount > 0.
+  */
+object ChunkCodec {
+  val MAGIC = 0xb2
+  val VERSION = 1
+
+  def encode(vec: ColVec, plan: Plan): Array[Byte] = {
+    val body = new Bytes.Writer(1 << 14)
+    val nulls = vec.nullCount
+    if (nulls > 0) writeValidity(vec.validity, body)
+    val colType = vec match {
+      case v: LongVec => LongKernels.encode(plan.method, v, body); ColType.LONG
+      case v: DoubleVec => DoubleKernels.encode(plan.method, v, body); ColType.DOUBLE
+      case v: BinVec => BinKernels.encode(plan.method, v, body); ColType.BIN
+    }
+    val raw = body.result()
+    val comp = Entropy.compress(plan.entropy, plan.level, raw)
+    // entropy made it bigger? store uncompressed (blosc2 does the same fallback)
+    val (ent, payload) = if (comp.length < raw.length) (plan.entropy, comp) else (Entropy.NONE, raw)
+    val w = new Bytes.Writer(payload.length + 24)
+    w.putByte(MAGIC); w.putByte(VERSION)
+    w.putByte(colType); w.putByte(plan.method); w.putByte(ent); w.putByte(plan.level)
+    w.putVarInt(vec.n); w.putVarInt(nulls); w.putVarInt(raw.length)
+    w.putBytes(payload)
+    w.result()
+  }
+
+  def decode(block: Array[Byte]): ColVec = {
+    val r = new Bytes.Reader(block)
+    require(r.getByte() == MAGIC, "bad magic")
+    require(r.getByte() == VERSION, "bad version")
+    val colType = r.getByte().toByte
+    val method = r.getByte().toByte
+    val entropy = r.getByte().toByte
+    r.getByte() // level (unused on decode)
+    val n = r.getVarInt()
+    val nulls = r.getVarInt()
+    val rawLen = r.getVarInt()
+    val payload = r.getBytes(block.length - r.pos)
+    val raw = Entropy.decompress(entropy, payload, rawLen)
+    val body = new Bytes.Reader(raw)
+    val validity = if (nulls > 0) readValidity(body, n) else null
+    colType match {
+      case ColType.LONG => LongVec(LongKernels.decode(method, body, n, validity), validity)
+      case ColType.DOUBLE => DoubleVec(DoubleKernels.decode(method, body, n, validity), validity)
+      case ColType.BIN => BinVec(BinKernels.decode(method, body, n, validity), validity)
+      case t => throw new IllegalArgumentException(s"colType $t")
+    }
+  }
+
+  /** (method, entropy) of an encoded block without decoding it. */
+  def peekPlan(block: Array[Byte]): Plan = Plan(block(3), block(4), block(5) & 0xff)
+
+  private def writeValidity(validity: Array[Boolean], w: Bytes.Writer): Unit = {
+    val n = validity.length
+    var i = 0
+    while (i < n) {
+      var b = 0
+      var j = 0
+      while (j < 8 && i + j < n) { if (validity(i + j)) b |= 1 << j; j += 1 }
+      w.putByte(b)
+      i += 8
+    }
+  }
+
+  private def readValidity(r: Bytes.Reader, n: Int): Array[Boolean] = {
+    val out = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val b = r.getByte()
+      var j = 0
+      while (j < 8 && i + j < n) { out(i + j) = ((b >> j) & 1) != 0; j += 1 }
+      i += 8
+    }
+    out
+  }
+}

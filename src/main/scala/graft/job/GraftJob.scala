@@ -1,0 +1,98 @@
+package graft.job
+
+import graft.corpus.Corpus
+import graft.encode.TableCodec
+import graft.lineage.Lineage
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entrypoint for the encode pipeline (the analog of the
+  * reference's `cli/parquet_to_blosc2.py` batch converter).
+  *
+  * Usage (class graft.job.GraftJob):
+  *   gen     <outParquet> <nRows> <nParts> [hotRepoFrac]   synthesize corpus
+  *   encode  <inParquet> <outDir> [nShards] [nBatches]     resumable encode
+  *   verify  <encodedDir>                                  sha256 roundtrip check
+  *   decode  <encodedDir> <outParquet>                     decode back to parquet
+  *   stats   <encodedDir>                                  codec mix + ratios
+  *
+  * On a real cluster the same jar runs unchanged: all stages are
+  * shuffle-free mapPartitions (encode/decode/verify) or manifest-sized
+  * aggregations (stats).
+  */
+object GraftJob {
+
+  def session(app: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    // under spark-submit master is provided; default to local for dev
+    val withMaster = if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: out :: nRows :: nParts :: rest =>
+      val spark = session("graft-gen")
+      val hot = rest.headOption.map(_.toDouble).getOrElse(0.0)
+      Corpus.generate(spark, nRows.toLong, nParts.toInt, hotRepoFrac = hot)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      println(s"""{"job":"gen","rows":$nRows,"out":"$out"}""")
+      spark.stop()
+
+    case "encode" :: in :: out :: rest =>
+      val spark = session("graft-encode")
+      val nShards = rest.headOption.map(_.toInt).getOrElse(64)
+      val nBatches = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val t0 = System.nanoTime()
+      val sum = Lineage.encodeResumable(spark, spark.read.parquet(in), out,
+        idCols = Seq("repo", "path", "commit"), nShards = nShards, nBatches = nBatches)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gbps = sum.nBytes / 1e9 / sec
+      println(f"""{"job":"encode","rows":${sum.nRows},"nBytes":${sum.nBytes},"cBytes":${sum.cBytes},"ratio":${sum.nBytes.toDouble / math.max(1, sum.cBytes)}%.3f,"sec":$sec%.2f,"encodeGBps":$gbps%.4f,"shardsDone":${sum.shardsDone},"shardsSkipped":${sum.shardsSkipped}}""")
+      spark.stop()
+
+    case "verify" :: dir :: Nil =>
+      val spark = session("graft-verify")
+      val ver = TableCodec.verify(Lineage.readBlocks(spark, dir))
+      val total = ver.count()
+      val bad = ver.filter(v => !v.ok).count()
+      println(s"""{"job":"verify","chunkCols":$total,"mismatches":$bad,"ok":${bad == 0}}""")
+      spark.stop()
+      if (bad != 0) sys.exit(1)
+
+    case "decode" :: dir :: out :: Nil =>
+      val spark = session("graft-decode")
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("repo", "path", "commit", "lang", "content")
+          .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      val t0 = System.nanoTime()
+      TableCodec.decode(Lineage.readBlocks(spark, dir), schema)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"decode","sec":$sec%.2f,"out":"$out"}""")
+      spark.stop()
+
+    case "stats" :: dir :: Nil =>
+      val spark = session("graft-stats")
+      val blocks = Lineage.readBlocks(spark, dir)
+      import spark.implicits._
+      val byPlan = blocks.flatMap(_.cols.map(c => (c.name, c.plan, c.nBytes, c.cBytes)))
+        .toDF("col", "plan", "nBytes", "cBytes")
+        .groupBy("col", "plan")
+        .agg(count(lit(1)).as("chunks"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
+        .withColumn("ratio", round(col("nBytes") / col("cBytes"), 2))
+        .orderBy("col", "plan")
+      byPlan.show(100, truncate = false)
+      spark.stop()
+
+    case other =>
+      System.err.println(s"unknown args: $other — see GraftJob scaladoc")
+      sys.exit(2)
+  }
+}

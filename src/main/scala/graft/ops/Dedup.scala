@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.corpus.Corpus.mix
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design: signatures (minhash/simhash) are pure per-row
+  * functions computed in a shuffle-free map — at 10^12 documents the
+  * only shuffles are (a) the LSH band bucket join, whose fan-out is
+  * `bands` rows per doc, and (b) the final candidate-pair join, which
+  * touches only colliding docs. No global state, no driver collection.
+  * (Public technique: Broder 1997 minhash; Charikar 2002 simhash;
+  * Leskovec et al., "Mining of Massive Datasets" ch.3 for banding.)
+  */
+object Dedup {
+
+  /** Exact content dedup: group rows by sha256 of the text, keep the
+    * smallest id per group. Pure Spark hash aggregate (partial+final).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ tokens
+
+  /** Deterministic 64-bit string hash (splitmix64 over chars), seedable. */
+  def tokenHash(s: String, from: Int, until: Int, seed: Long): Long = {
+    var h = mix(seed ^ 0x51_7c_c1_b7_27_22_0a95L)
+    var i = from
+    while (i < until) { h = mix(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  def words(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Word-shingle hashes of a document (distinct). */
+  def shingleHashes(text: String, shingle: Int): Array[Long] = {
+    val ws = words(text)
+    if (ws.length < shingle) {
+      if (ws.isEmpty) Array.empty[Long]
+      else Array(tokenHash(ws.mkString(" "), 0, ws.mkString(" ").length, 0L))
+    } else {
+      val out = new Array[Long](ws.length - shingle + 1)
+      var i = 0
+      while (i + shingle <= ws.length) {
+        val s = ws.slice(i, i + shingle).mkString(" ")
+        out(i) = tokenHash(s, 0, s.length, 0L)
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature: for seed j, min over shingles of mix(h ^ seed_j).
+    * Pure per-row function — no shuffle, no UDF registry, fully
+    * deterministic.
+    */
+  def minhashSignature(text: String, numHashes: Int, shingle: Int): Array[Long] = {
+    val hs = shingleHashes(text, shingle)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var j = 0
+      while (j < numHashes) {
+        val v = mix(hs(i) ^ mix(j.toLong * 0x9e37_79b9L + 17))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  final case class MinSig(id: Long, sig: Array[Long])
+
+  /** (id, sig array) via a shuffle-free typed map. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingle: Int = 5): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.map { r =>
+      MinSig(r.getLong(idIdx), minhashSignature(r.getString(tIdx), numHashes, shingle))
+    }(Encoders.product[MinSig])
+      .toDF(idCol, "sig")
+  }
+
+  /** LSH banding: explode signatures into (band, bucketHash) keys,
+    * self-join on equal buckets → candidate pairs with their estimated
+    * jaccard (fraction of equal signature slots). `bands` rows per doc
+    * go through the shuffle, never the full text.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandsExpr = expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '_')))")
+    val banded = sigs.select(col(idCol), col("sig"), posexplode(bandsExpr).as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection end to end. */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+                        threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
+    lshCandidatePairs(sigs, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens (Charikar). Pure per-row. */
+  def simhash64(text: String): Long = {
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    words(text).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+    val acc = new Array[Int](64)
+    counts.foreach { case (w, c) =>
+      val h = tokenHash(w, 0, w.length, 0x51a7e5eeL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.map { r => (r.getLong(idIdx), simhash64(r.getString(tIdx))) }(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "simhash")
+  }
+
+  /** Near-dup pairs by simhash hamming distance ≤ maxDist, using 4-way
+    * table banding (any pair within distance 3 shares ≥1 of 4 16-bit
+    * bands — pigeonhole), so the join key is a short band, not O(n²).
+    */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 16) & 65535))"))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------ n-gram jaccard
+
+  /** Exact character-n-gram Jaccard for a pair of texts (local). */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    def grams(s: String): Set[String] =
+      if (s.length < n) Set(s) else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+    val (ga, gb) = (grams(a), grams(b))
+    if (ga.isEmpty && gb.isEmpty) 1.0
+    else ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+  }
+
+  /** Verify LSH candidates with exact n-gram Jaccard: join texts back
+    * to the candidate pairs (only colliding docs are shuffled), compute
+    * the exact measure per pair locally.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashDuplicates(df, idCol, textCol, numHashes, bands, shingle = 3, threshold = 0.3)
+    val texts = df.select(col(idCol), col(textCol))
+    val withA = cands.join(texts.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
+    val withB = withA.join(texts.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
+    val idA = withB.schema.fieldIndex("id_a")
+    val idB = withB.schema.fieldIndex("id_b")
+    val tA = withB.schema.fieldIndex("text_a")
+    val tB = withB.schema.fieldIndex("text_b")
+    withB.map { r =>
+      (r.getLong(idA), r.getLong(idB), ngramJaccard(r.getString(tA), r.getString(tB), n))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+}

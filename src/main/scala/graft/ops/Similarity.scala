@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.corpus.Corpus.mix
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one shuffle-free projection
+  * (codegen'd `zip_with`/`aggregate`, no UDF) followed by Spark's
+  * TakeOrderedAndProject (per-partition top-k + driver merge of k·P
+  * rows, not a global sort).
+  *
+  * Scale path: sign-LSH (random hyperplanes, Charikar 2002) — each
+  * vector gets a bucket id from deterministic pseudo-random planes;
+  * queries probe only their own bucket (optionally hamming-1
+  * neighbors), so the scan is ~n/2^bits instead of n. At 100 TB the
+  * bucketed table is written partitioned by bucket → partition pruning
+  * serves the probe.
+  */
+object Similarity {
+
+  /** dot(vec, literal query) as a codegen'd Column (double precision). */
+  def dotLit(vecCol: Column, q: Array[Float]): Column = {
+    val qd = typedlit(q.map(_.toDouble).toSeq)
+    aggregate(
+      zip_with(vecCol.cast("array<double>"), qd, (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+  }
+
+  def norm(vecCol: Column): Column =
+    sqrt(aggregate(zip_with(vecCol.cast("array<double>"), vecCol.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosineLit(vecCol: Column, q: Array[Float]): Column = {
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    dotLit(vecCol, q) / (norm(vecCol) * lit(qn))
+  }
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (public trick:
+    * splitmix64-seeded components; normalization is irrelevant for the
+    * sign test).
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val h = mix(seed ^ (p.toLong << 32) ^ i.toLong)
+        // map to (-1, 1)
+        ((h >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+      }
+    }
+
+  /** Sign-LSH bucket id column for an embedding column. */
+  def bucketCol(vecCol: Column, ps: Array[Array[Float]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vecCol, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, bucket) for the whole table — shuffle-free. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 12, dim: Int = 64, seed: Long = 7L): DataFrame =
+    df.select(col(idCol), bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
+
+  /** ANN top-k: probe the query's bucket and its hamming-1 neighbors,
+    * brute-force only inside them.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+    val ps = planes(nPlanes, query.length, seed)
+    var qBucket = 0L
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) qBucket |= 1L << i
+    }
+    val probes = qBucket +: Array.tabulate(nPlanes)(i => qBucket ^ (1L << i))
+    df.withColumn("bucket", bucketCol(col(vecCol), ps))
+      .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+}

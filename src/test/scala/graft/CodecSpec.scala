@@ -1,0 +1,200 @@
+package graft
+
+import graft.codecs._
+import graft.core.{BitPack, Bytes}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Roundtrip unit tests for every codec kernel — the reference's core
+  * oracle pattern (python-blosc2 tests/test_compress2.py:58-76: compress
+  * then decompress, assert byte equality), crossed over the FIXTURES.md
+  * §2 micro fixtures.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private val rnd = new java.util.Random(42)
+
+  // ---------------------------------------------------------- bit packing
+
+  test("bitpack roundtrips all widths") {
+    for (width <- 0 to 64) {
+      val n = 1000 + width
+      val vs = Array.fill(n) {
+        if (width == 0) 0L
+        else if (width == 64) rnd.nextLong()
+        else rnd.nextLong() & ((1L << width) - 1)
+      }
+      val w = new Bytes.Writer()
+      BitPack.pack(vs, 0, n, width, w)
+      val r = new Bytes.Reader(w.result())
+      val out = new Array[Long](n)
+      BitPack.unpack(r, n, width, out, 0)
+      assert(out.toSeq == vs.toSeq, s"width=$width")
+    }
+  }
+
+  test("varints roundtrip extremes") {
+    val vals = Seq(0L, 1L, -1L, 127L, 128L, Long.MaxValue, Long.MinValue, 42L, -300L)
+    val w = new Bytes.Writer()
+    vals.foreach(w.putSVarLong)
+    val r = new Bytes.Reader(w.result())
+    vals.foreach(v => assert(r.getSVarLong() == v))
+  }
+
+  // ------------------------------------------------------------ fixtures
+
+  private def arangeLongs(n: Int) = Array.tabulate(n)(_.toLong)
+  private def constantBlock(n: Int) = Array.fill(n)(123456789L)
+  private def lowCardStrings(n: Int): Array[Array[Byte]] = {
+    val pool = Array.tabulate(20)(i => s"lang-val-$i".getBytes("UTF-8"))
+    Array.tabulate(n)(i => pool((math.pow(rnd.nextDouble(), 3) * 20).toInt.min(19)))
+  }
+  private def keywordText(n: Int): Array[Array[Byte]] =
+    Array.tabulate(n)(i => graft.corpus.Corpus.content(i.toLong * 7 + 1, "c").take(400).getBytes("UTF-8"))
+  private def hexCommits(n: Int): Array[Array[Byte]] =
+    Array.tabulate(n) { i =>
+      val sb = new StringBuilder
+      var h = graft.corpus.Corpus.mix(i.toLong)
+      for (j <- 0 until 40) {
+        if (j % 15 == 0) h = graft.corpus.Corpus.mix(h ^ j)
+        sb.append("0123456789abcdef".charAt(((h >>> ((j % 15) * 4)) & 0xf).toInt))
+      }
+      sb.toString.getBytes("UTF-8")
+    }
+
+  private def roundtripLong(vs: Array[Long], m: Byte, e: Byte = Entropy.NONE): Unit = {
+    val block = ChunkCodec.encode(LongVec(vs), Plan(m, e))
+    val out = ChunkCodec.decode(block).asInstanceOf[LongVec]
+    assert(out.values.toSeq == vs.toSeq, s"method=$m entropy=$e")
+  }
+
+  private def roundtripBin(vs: Array[Array[Byte]], m: Byte, e: Byte = Entropy.NONE): Unit = {
+    val block = ChunkCodec.encode(BinVec(vs), Plan(m, e))
+    val out = ChunkCodec.decode(block).asInstanceOf[BinVec]
+    assert(out.values.length == vs.length)
+    for (i <- vs.indices)
+      assert(java.util.Arrays.equals(out.values(i), vs(i)), s"method=$m row $i")
+  }
+
+  // ------------------------------------------------------- long kernels
+
+  test("long kernels roundtrip on all fixtures × entropies") {
+    val fixtures = Seq(
+      arangeLongs(5000),
+      constantBlock(5000),
+      Array.fill(5000)(rnd.nextLong()),
+      Array.tabulate(5000)(i => (i / 100).toLong), // runs
+      Array.tabulate(5000)(i => rnd.nextInt(1 << 12).toLong), // small ints
+      Array[Long](),
+      Array(42L)
+    )
+    val smallIntsWithOutlier = Array.tabulate(5000)(i => rnd.nextInt(1 << 12).toLong)
+    smallIntsWithOutlier(2500) = 1L << 62
+    val extremes = Array(Long.MinValue, Long.MaxValue, 0L, -1L, 1L, Long.MinValue / 2, Long.MaxValue / 2)
+    for (vs <- fixtures ++ Seq(smallIntsWithOutlier, extremes);
+         m <- Seq(Method.PLAIN, Method.RLE, Method.FOR_PACK, Method.DELTA_PACK);
+         e <- Seq(Entropy.NONE, Entropy.LZ4, Entropy.ZSTD))
+      roundtripLong(vs, m, e)
+  }
+
+  test("const long chunk stores almost nothing") {
+    val block = ChunkCodec.encode(LongVec(constantBlock(65536)), Plan(Method.CONST, Entropy.NONE))
+    assert(block.length < 32)
+    assert(ChunkCodec.decode(block).asInstanceOf[LongVec].values.forall(_ == 123456789L))
+  }
+
+  test("arange compresses via delta to ~2 bits/value, ~nothing with zstd") {
+    val vs = arangeLongs(65536)
+    // zigzag(+1) = 2 → 2-bit residuals → n/4 bytes
+    val block = ChunkCodec.encode(LongVec(vs), Plan(Method.DELTA_PACK, Entropy.NONE))
+    assert(block.length < 65536 / 4 + 64, s"got ${block.length}")
+    val zblock = ChunkCodec.encode(LongVec(vs), Plan(Method.DELTA_PACK, Entropy.ZSTD))
+    assert(zblock.length < 300, s"constant-residual chunk should zstd to ~nothing, got ${zblock.length}")
+    roundtripLong(vs, Method.DELTA_PACK)
+  }
+
+  // ----------------------------------------------------- double kernels
+
+  test("double kernels roundtrip incl. NaN/Inf bit patterns") {
+    val vs = Array(0.0, -0.0, 1.5, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, math.Pi) ++
+      Array.fill(1000)(rnd.nextGaussian() * 1e6)
+    for (m <- Seq(Method.PLAIN, Method.SHUFFLE); e <- Seq(Entropy.NONE, Entropy.ZSTD)) {
+      val block = ChunkCodec.encode(DoubleVec(vs), Plan(m, e))
+      val out = ChunkCodec.decode(block).asInstanceOf[DoubleVec]
+      assert(vs.indices.forall(i =>
+        java.lang.Double.doubleToRawLongBits(out.values(i)) == java.lang.Double.doubleToRawLongBits(vs(i))))
+    }
+  }
+
+  // -------------------------------------------------------- bin kernels
+
+  test("bin kernels roundtrip on all string fixtures × entropies") {
+    val fixtures = Seq(
+      lowCardStrings(3000),
+      keywordText(300),
+      hexCommits(2000),
+      Array[Array[Byte]](),
+      Array("".getBytes("UTF-8")),
+      Array.fill(100)("same".getBytes("UTF-8")),
+      // binary-safe: all byte values incl. 0x00 and 0xFF (the FSST escape)
+      Array.tabulate(300)(i => Array.tabulate(256)(j => ((i + j) % 256).toByte))
+    )
+    for (vs <- fixtures;
+         m <- Seq(Method.PLAIN, Method.DICT, Method.FSST);
+         e <- Seq(Entropy.NONE, Entropy.LZ4, Entropy.ZSTD))
+      roundtripBin(vs, m, e)
+  }
+
+  test("dict on low-cardinality beats plain; fsst on keyword text beats plain") {
+    val lc = lowCardStrings(5000)
+    val plain = ChunkCodec.encode(BinVec(lc), Plan(Method.PLAIN, Entropy.NONE)).length
+    val dict = ChunkCodec.encode(BinVec(lc), Plan(Method.DICT, Entropy.NONE)).length
+    assert(dict < plain / 4, s"dict=$dict plain=$plain")
+
+    val kt = keywordText(500)
+    val plainK = ChunkCodec.encode(BinVec(kt), Plan(Method.PLAIN, Entropy.NONE)).length
+    val fsst = ChunkCodec.encode(BinVec(kt), Plan(Method.FSST, Entropy.NONE)).length
+    assert(fsst < plainK, s"fsst=$fsst plain=$plainK")
+  }
+
+  // ------------------------------------------------------------- nulls
+
+  test("null-bearing chunks roundtrip with validity preserved") {
+    val n = 1000
+    val validity = Array.tabulate(n)(i => i % 7 != 0)
+    val longs = LongVec(Array.tabulate(n)(_.toLong), validity)
+    val out = ChunkCodec.decode(ChunkCodec.encode(longs, Plan(Method.DELTA_PACK, Entropy.ZSTD))).asInstanceOf[LongVec]
+    assert(out.validity.toSeq == validity.toSeq)
+    for (i <- 0 until n if validity(i)) assert(out.values(i) == i.toLong)
+
+    val strs = BinVec(Array.tabulate(n)(i => if (validity(i)) s"v$i".getBytes("UTF-8") else null), validity)
+    val outS = ChunkCodec.decode(ChunkCodec.encode(strs, Plan(Method.DICT, Entropy.NONE))).asInstanceOf[BinVec]
+    for (i <- 0 until n)
+      if (validity(i)) assert(new String(outS.values(i), "UTF-8") == s"v$i")
+      else assert(outS.values(i) == null)
+  }
+
+  // ----------------------------------------------------------- selector
+
+  test("selector picks sane plans per fixture (FIXTURES.md §2 table)") {
+    import graft.encode.Selector
+    assert(Selector.choose(LongVec(constantBlock(5000))).method == Method.CONST)
+    val arangePlan = Selector.choose(LongVec(arangeLongs(5000)))
+    assert(arangePlan.method == Method.DELTA_PACK || arangePlan.method == Method.FOR_PACK)
+    val dictPlan = Selector.choose(BinVec(lowCardStrings(5000)))
+    assert(dictPlan.method == Method.DICT)
+    // hexCommits: incompressible → must NOT pick dict
+    val hexPlan = Selector.choose(BinVec(hexCommits(3000)))
+    assert(hexPlan.method != Method.DICT)
+  }
+
+  test("selector choice always roundtrips (property)") {
+    val gens = new java.util.Random(7)
+    for (_ <- 0 until 20) {
+      val n = 1 + gens.nextInt(2000)
+      val vs = Array.fill(n)(gens.nextInt(1 << gens.nextInt(30)).toLong)
+      val plan = graft.encode.Selector.choose(LongVec(vs))
+      roundtripLong(vs, plan.method, plan.entropy)
+    }
+  }
+}
