@@ -1,0 +1,544 @@
+package graft.ops
+
+import graft.encode.TableCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The query surface exposed through SparkEntry: the reference's
+  * operator envelope (scan/filter/project/agg/sort/top-k — SURVEY.md
+  * §2, python-blosc2 has no joins/windows of its own, those are
+  * Spark-free) plus the training-data pipeline operators (dedup,
+  * similarity, text analysis) and the north-rule encode/decode
+  * roundtrip queries.
+  *
+  * Every query here has a matching DuckDB oracle in `oracle` (same
+  * column names, same ordering) unless it is structurally
+  * non-SQL-expressible (signatures, LSH buckets, codec plans) — those
+  * get deterministic row-level output for the rows-only check.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ============================================================ relational
+
+  /** TPC-H Q1-style pricing summary (reference group_by+agg,
+    * python-blosc2 groupby.py:238). Partial+final hash agg, no join.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Filter + projection (reference CTable.where + select,
+    * ctable.py:13289/6503). Predicate and column pruning reach the scan.
+    */
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice") * col("l_discount"), 4).as("disc_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice * l_discount, 4) AS disc_price
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** 3-way join with small dims broadcast (nation/region are tiny —
+    * explicit broadcast() so the plan is BroadcastHashJoin, no shuffle
+    * of the fact side).
+    */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val q3Sql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-k (reference sorted_slice, ctable.py:11840): planned as
+    * TakeOrderedAndProject — per-partition heap, no global sort.
+    */
+  def q4TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(25)
+
+  val q4Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** value_counts / distinct (reference ctable.py:2705). */
+  def q5ValueCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val q5Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** isin membership (reference Column.isin, ctable.py:2318). */
+  def q6Isin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("o_orderstatus")
+
+  val q6Sql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Window prefix-scan (the reference's only window op:
+    * cumulative_sum, ndarray.py:638).
+    */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("cum_spend"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Multi-key sort view (reference sort_by, ctable.py:11732). */
+  def q8Sort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .orderBy(col("p_brand"), desc("p_size"), col("p_partkey"))
+      .limit(200)
+
+  val q8Sql: String =
+    """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+      |ORDER BY p_brand, p_size DESC, p_partkey LIMIT 200""".stripMargin
+
+  /** describe() summary stats (reference ctable.py:6686). */
+  def q9Describe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l_quantity"), 4).as("mean_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        round(avg("l_extendedprice"), 2).as("mean_price"))
+
+  val q9Sql: String =
+    """SELECT count(*) AS n, round(avg(l_quantity), 4) AS mean_qty,
+      |  round(stddev_samp(l_quantity), 4) AS std_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  round(avg(l_extendedprice), 2) AS mean_price
+      |FROM lineitem""".stripMargin
+
+  /** Null semantics: synthesize nulls with nullif, then count/fill
+    * (reference is_null/fillna/dropna, ctable.py:2627-2659; Spark uses
+    * native Catalyst nulls — SURVEY.md §1.2).
+    */
+  def q10Nulls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("d")).as("n_notnull"),
+        round(sum(coalesce(col("d"), lit(0.05))), 2).as("filled_sum"))
+      .orderBy("l_returnflag")
+
+  val q10Sql: String =
+    """SELECT l_returnflag, count(*) AS n, count(nullif(l_discount, 0.0)) AS n_notnull,
+      |  round(sum(coalesce(nullif(l_discount, 0.0), 0.05)), 2) AS filled_sum
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** String function suite (reference dsl string set: lower/upper/strip/
+    * replace/substr/split_part — dsl_kernel.py:44-70, ndarray.py:5628+).
+    */
+  def q11Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 12)).as("head_lower"),
+        upper(col("lang")).as("lang_up"),
+        expr("split_part(text, ' ', 1)").as("first_word"),
+        length(col("text")).as("len"),
+        col("text").contains("the").cast("int").as("has_the"),
+        col("source").startsWith("src1").cast("int").as("src1x"),
+        trim(regexp_replace(substring(col("text"), 1, 30), "\\s+", " ")).as("norm_head"))
+      .orderBy("doc_id")
+
+  val q11Sql: String =
+    """SELECT doc_id, lower(substring(text, 1, 12)) AS head_lower,
+      |  upper(lang) AS lang_up, split_part(text, ' ', 1) AS first_word,
+      |  length(text) AS len,
+      |  CAST(contains(text, 'the') AS INT) AS has_the,
+      |  CAST(starts_with(source, 'src1') AS INT) AS src1x,
+      |  trim(regexp_replace(substring(text, 1, 30), '\s+', ' ', 'g')) AS norm_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Date/time functions over the timestamp column. */
+  def q12Date(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("y", "m")
+
+  val q12Sql: String =
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** CASE/WHEN + casting (reference where(cond,x,y) + astype,
+    * ndarray.py:5603/6959).
+    */
+  def q13Case(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("bucket"),
+        col("l_quantity").cast("int").as("qty_int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("qty_int").as("qty_sum"))
+      .orderBy("bucket")
+
+  val q13Sql: String =
+    """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+      |            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+      |  count(*) AS n, sum(CAST(l_quantity AS INT)) AS qty_sum
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Set ops (reference has only concat/extend = UNION ALL,
+    * ctable.py:12718; intersect/except are Spark-free).
+    */
+  def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    val haveOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+    all.intersect(haveOrders).except(bigSpenders)
+      .agg(count(lit(1)).as("n_modest_customers"))
+  }
+
+  val q14Sql: String =
+    """SELECT count(*) AS n_modest_customers FROM (
+      |  SELECT c_custkey AS custkey FROM customer
+      |  INTERSECT SELECT o_custkey FROM orders
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      |) t""".stripMargin
+
+  /** Grouping sets via rollup (absent in the reference, SURVEY.md §2.4;
+    * free in Spark). NULLS FIRST pinned on both sides.
+    */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val q15Sql: String =
+    """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  /** JSON extraction from the events props column. */
+  def q16Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 90)
+      .orderBy("event_id")
+
+  val q16Sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+      |ORDER BY event_id""".stripMargin
+
+  /** Tumbling time-window aggregation over the event stream table (the
+    * batch shape of the Structured Streaming pipeline in
+    * graft.streaming; windows pinned via date_trunc on both sides).
+    */
+  def q17TimeWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("hour_epoch", "event_type")
+
+  val q17Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ================================================== pipeline operators
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_sha")
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic per-doc minhash summary (signatures are not
+    * SQL-expressible → rows-only check); the pair-finding path is
+    * exercised in DedupSpec with synthetic near-dups.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), element_at(col("sig"), 1).as("minhash0"),
+        xxhash64(concat_ws("_", col("sig"))).as("sig_hash"))
+      .orderBy("doc_id")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    // deterministic per-doc candidate summary (pairs themselves may be
+    // empty on a dup-free corpus)
+    docs.select(col("doc_id")).join(
+        pairs.groupBy(col("id_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_cands"), round(max("jaccard"), 4).as("max_jaccard")),
+        Seq("doc_id"), "left")
+      .na.fill(Map("n_cands" -> 0L, "max_jaccard" -> 0.0))
+      .orderBy("doc_id")
+  }
+
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  val simTopKSql: String =
+    """SELECT vec_id, round(list_cosine_similarity(embedding,
+      |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+      |FROM embeddings
+      |ORDER BY list_cosine_similarity(embedding,
+      |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  def simLshBuckets(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+      |    / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_word_len,
+      |  round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0
+      |    / greatest(length(text), 1), 4) AS punct_ratio,
+      |  round(
+      |    least(length(text) / 500.0, 1.0) * 0.3
+      |    + (CASE WHEN (length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+      |        / greatest(len(string_split_regex(trim(text), '\s+')), 1)) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.4 END) * 0.3
+      |    + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))) * 1.0
+      |        / greatest(length(text), 1)) * 4.0, 1.0)) * 0.2
+      |    + least(((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' in ', ''))) / 4.0
+      |           + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' that ', ''))) / 6.0)
+      |        / greatest(len(string_split_regex(trim(text), '\s+')), 1) * 4.0, 1.0) * 0.2
+      |  , 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // =================================================== north-rule encode
+
+  /** THE roundtrip proof, oracle-checked per row: encode the documents
+    * table through the full codec pipeline, decode it back, emit
+    * sha256 per row. DuckDB computes the same hashes from the raw
+    * table — any bit flip anywhere in the engine fails the compare.
+    */
+  def corpusRoundtripSha(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val decoded = TableCodec.decode(TableCodec.encode(docs, chunkRows = 4096), docs.schema)
+    decoded.select(col("doc_id"), sha2(col("text"), 256).as("text_sha"),
+        sha2(concat_ws("|", col("lang"), col("source")), 256).as("meta_sha"))
+      .orderBy("doc_id")
+  }
+
+  val corpusRoundtripShaSql: String =
+    """SELECT doc_id, sha256(text) AS text_sha,
+      |  sha256(lang || '|' || source) AS meta_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Aggregates computed from DECODED data vs the raw table in DuckDB. */
+  def corpusEncodeStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val decoded = TableCodec.decode(TableCodec.encode(docs, chunkRows = 4096), docs.schema)
+    decoded.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("chars"),
+        sum("n_chars").as("n_chars_sum"))
+      .orderBy("lang")
+  }
+
+  val corpusEncodeStatsSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(length(text)) AS chars,
+      |  sum(n_chars) AS n_chars_sum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Codec plan mix chosen by the auto-selector over the documents
+    * table (rows-only: plans are engine-internal).
+    */
+  def corpusCodecPlans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    TableCodec.encode(docs, chunkRows = 4096)
+      .flatMap(b => b.cols.map(c => (c.name, c.plan, c.nBytes, c.cBytes)))
+      .toDF("col", "plan", "nBytes", "cBytes")
+      .groupBy("col", "plan")
+      .agg(count(lit(1)).as("chunks"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
+      .orderBy("col", "plan")
+  }
+
+  /** The queries map consumed by SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2Filter _),
+    "q3_join_broadcast" -> (q3Join _),
+    "q4_topk" -> (q4TopK _),
+    "q5_value_counts" -> (q5ValueCounts _),
+    "q6_isin" -> (q6Isin _),
+    "q7_window_cumsum" -> (q7Window _),
+    "q8_sort_multi" -> (q8Sort _),
+    "q9_describe" -> (q9Describe _),
+    "q10_nulls" -> (q10Nulls _),
+    "q11_strings" -> (q11Strings _),
+    "q12_date" -> (q12Date _),
+    "q13_case_cast" -> (q13Case _),
+    "q14_setops" -> (q14SetOps _),
+    "q15_rollup" -> (q15Rollup _),
+    "q16_json" -> (q16Json _),
+    "q17_time_window" -> (q17TimeWindow _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram" -> (dedupNgram _),
+    "sim_topk_cosine" -> (simTopK _),
+    "sim_lsh_buckets" -> (simLshBuckets _),
+    "text_langid" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "corpus_roundtrip_sha" -> (corpusRoundtripSha _),
+    "corpus_encode_stats" -> (corpusEncodeStats _),
+    "corpus_codec_plans" -> (corpusCodecPlans _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_broadcast" -> q3Sql,
+    "q4_topk" -> q4Sql,
+    "q5_value_counts" -> q5Sql,
+    "q6_isin" -> q6Sql,
+    "q7_window_cumsum" -> q7Sql,
+    "q8_sort_multi" -> q8Sql,
+    "q9_describe" -> q9Sql,
+    "q10_nulls" -> q10Sql,
+    "q11_strings" -> q11Sql,
+    "q12_date" -> q12Sql,
+    "q13_case_cast" -> q13Sql,
+    "q14_setops" -> q14Sql,
+    "q15_rollup" -> q15Sql,
+    "q16_json" -> q16Sql,
+    "q17_time_window" -> q17Sql,
+    "dedup_exact" -> dedupExactSql,
+    "sim_topk_cosine" -> simTopKSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "corpus_roundtrip_sha" -> corpusRoundtripShaSql,
+    "corpus_encode_stats" -> corpusEncodeStatsSql
+  )
+}

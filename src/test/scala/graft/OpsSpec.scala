@@ -1,0 +1,166 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextOps, Queries}
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the pipeline operators: dedup finds planted
+  * near-dups, ANN search agrees with brute force, text metrics are
+  * sane, and the query layer runs at sf0.001 (the DuckDB value-match
+  * happens in the driver harness / tools/oracle_check.py).
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --------------------------------------------------------------- dedup
+
+  private lazy val nearDupDocs = {
+    val base = (0L until 40L).map { i =>
+      val body = graft.corpus.Corpus.content(i * 31 + 5, "py")
+        .split("\n").take(40).mkString(" ")
+      (i, s"document $i about ${i % 5}: $body")
+    }
+    // plant near-dups: 100..103 are tiny edits of 0..3; 200 is an exact dup of 7
+    val dups = (0L until 4L).map(i => (100L + i, base(i.toInt)._2 + " extra trailing words here")) :+
+      (200L, base(7)._2)
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val res = Dedup.exact(nearDupDocs, "doc_id", "text").collect()
+    assert(res.length == 44) // 45 docs, one exact pair collapses
+    val dupGroup = res.filter(_.getLong(2) == 2)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 7L)
+  }
+
+  test("minhash+LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashDuplicates(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 4L)
+      assert(pairs.contains((i, 100L + i)), s"missing planted pair $i <-> ${100 + i}; got $pairs")
+    assert(pairs.contains((7L, 200L)))
+    // unrelated docs must not collide at this threshold
+    val falsePairs = pairs.filterNot { case (a, b) => b == a + 100 || (a, b) == ((7L, 200L)) }
+    assert(falsePairs.isEmpty, s"false positives: $falsePairs")
+  }
+
+  test("simhash hamming distance separates dups from unrelated docs") {
+    val pairs = Dedup.simhashDuplicates(nearDupDocs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 200L)), s"exact dup must have distance 0; got $pairs")
+  }
+
+  test("ngram jaccard verification scores planted pairs high") {
+    val verified = Dedup.ngramJaccardPairs(nearDupDocs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.getOrElse((7L, 200L), 0.0) == 1.0)
+    for (i <- 0L until 4L)
+      assert(verified.getOrElse((i, 100L + i), 0.0) > 0.8)
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("brute-force cosine top-k: self-similarity is 1.0 and first") {
+    val q = embeddings.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 3L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("LSH top-k finds planted near-neighbors (clustered data)") {
+    // sign-LSH recall on uniformly random vectors equals the scanned
+    // fraction by construction, so the meaningful test plants real
+    // neighbors: 5 small perturbations of the query among 500 noise vecs.
+    val dim = 32
+    def vec(seed: Long): Array[Float] = Array.tabulate(dim) { i =>
+      ((graft.corpus.Corpus.mix(seed * 131 + i) >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+    }
+    val q = vec(999L)
+    val noise = (0L until 500L).map(i => (i, vec(i).toSeq))
+    val planted = (1000L until 1005L).map { i =>
+      val p = vec(7000L + i)
+      (i, q.zip(p).map { case (a, b) => a + 0.1f * b }.toSeq)
+    }
+    val df = (noise ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute == (1000L until 1005L).toSet, s"brute force must rank planted first: $brute")
+    val ann = Similarity.lshTopK(df, "vec_id", "embedding", q, 5, nPlanes = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall on planted neighbors: $recall (ann=$ann)")
+  }
+
+  test("LSH buckets are deterministic and bounded") {
+    val b1 = Similarity.lshBuckets(embeddings, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Similarity.lshBuckets(embeddings, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < (1L << 12)))
+  }
+
+  // ---------------------------------------------------------------- text
+
+  test("text metrics: tokens, quality, fingerprint, langid") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and that is fine"),
+      (2L, "der hund und die katze ist das haus und der baum"),
+      (3L, "!!! ??? ... ,,, ;;; :::")
+    ).toDF("doc_id", "text")
+    val m = df.select($"doc_id",
+      TextOps.tokenCount($"text").as("toks"),
+      TextOps.qualityScore($"text").as("q"),
+      TextOps.fingerprint($"text").as("fp"),
+      TextOps.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) == 13)
+    assert(m(1L).getString(4) == "en")
+    assert(m(2L).getString(4) == "de")
+    assert(m(1L).getDouble(2) > m(3L).getDouble(2), "prose must outscore punctuation soup")
+    // fingerprint is whitespace/case-insensitive
+    val fp2 = Seq((9L, "THE   quick brown fox jumps over the lazy dog and that is fine"))
+      .toDF("doc_id", "text")
+      .select(TextOps.fingerprint($"text")).head().getString(0)
+    assert(fp2 == m(1L).getString(3))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  test("every SparkEntry query runs at sf0.001 with rows > 0") {
+    Queries.all.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("entry() returns the roundtrip proof with rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys and share column names") {
+    assert(Queries.oracle.keySet.subsetOf(Queries.all.keySet))
+  }
+
+  test("broadcast join plan actually broadcasts the dims") {
+    val plan = Queries.q3Join(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Queries.q4TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("filter+project pushes down to the parquet scan") {
+    val plan = Queries.q2Filter(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan"), plan.take(3000))
+  }
+}
