@@ -12,15 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Session at a given parallelism. SPARK_GRAFT_MASTER template may
+    * override the master, e.g. "local-cluster[{N},1,3072]" to run {N}
+    * real executor JVMs (the honest stand-in for {N} executors: separate
+    * heaps, separate GC — unlike threads sharing one JVM).
+    */
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[{N}]").replace("{N}", cpus)
+    val b = SparkSession.builder()
+      .master(master)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.dynamicAllocation.enabled", "false")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -31,21 +41,39 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Encode+decode throughput over a deterministic synthetic corpus.
-    * Input is cached+materialized first so the clock sees codec work,
-    * not the generator.
+  /** Encode+decode throughput in the production pipeline shape:
+    * parquet scan → encode → parquet(blocks) → decode. The corpus
+    * parquet is generated once (untimed, reused across parallelism
+    * levels and JVMs); OS page cache serves re-reads. DataFrame
+    * .cache() is deliberately NOT used for the input — Spark's
+    * in-memory columnar cache is itself lz4-compressed, so timing
+    * against it benchmarks cache deserialization, not the codec.
     */
   def corpusBench(spark: SparkSession, nRows: Long, nParts: Int): Map[String, Double] = {
-    val corpus = Corpus.generate(spark, nRows, nParts).toDF().cache()
+    val path = s"/tmp/graft-bench/corpus-$nRows-$nParts.parquet"
+    if (!new java.io.File(path).exists()) {
+      Corpus.generate(spark, nRows, nParts).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    val corpus = spark.read.parquet(path)
     val nBytes = corpus.select(
       sum(length(col("content")) + length(col("repo")) + length(col("path")) +
         length(col("commit")) + length(col("lang")))).head().getLong(0)
 
-    val (blocks, encSec) = time {
-      val b = TableCodec.encode(corpus).cache()
-      b.count()
-      b
+    // warmup pass (JIT + page cache) then best-of-2 timed passes
+    TableCodec.encode(corpus.limit(math.min(nRows, 20000L).toInt)).count()
+    val (_, encSecA) = time(TableCodec.encode(corpus).count())
+    val blocksPath = s"/tmp/graft-bench/blocks-$nRows-$nParts-${spark.sparkContext.defaultParallelism}"
+    val (_, encSecB) = time {
+      TableCodec.encode(corpus).write.mode("overwrite").parquet(blocksPath)
     }
+    // encSecB includes the parquet write of the encoded blocks; the
+    // compute-only number is encSecA
+    val encSec = encSecA
+    implicit val be: org.apache.spark.sql.Encoder[graft.encode.EncodedBlock] =
+      org.apache.spark.sql.Encoders.product[graft.encode.EncodedBlock]
+    val blocks = spark.read.parquet(blocksPath)
+      .select("shard", "partId", "chunkId", "nRows", "cols").as[graft.encode.EncodedBlock]
     val cBytes = blocks.flatMap(_.cols.map(_.cBytes))(org.apache.spark.sql.Encoders.scalaLong)
       .agg(sum("value")).head().getLong(0)
 
@@ -57,9 +85,8 @@ object Bench {
       TableCodec.verify(blocks).filter(v => !v.ok).count()
     }
     require(bad == 0, s"verify found $bad mismatching chunks")
-    blocks.unpersist()
-    corpus.unpersist()
     Map(
+      "encode_write_sec" -> encSecB,
       "corpus_rows" -> nRows.toDouble,
       "corpus_gb" -> nBytes / 1e9,
       "encode_sec" -> encSec,

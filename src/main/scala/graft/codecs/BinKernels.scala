@@ -67,6 +67,44 @@ object BinKernels {
       i = 0
       while (i < n) { w.putBytes(enc(i)); i += 1 }
 
+    case Method.BYTEPACK =>
+      // small-alphabet packing: hex commits (16 symbols → 4 bits/byte),
+      // DNA-like data, etc. Requires alphabet ≤ 64 distinct bytes
+      // (Selector validates before offering this plan).
+      val n = vec.n
+      val present = new Array[Int](256)
+      java.util.Arrays.fill(present, -1)
+      val alphabet = new mutable.ArrayBuffer[Byte]()
+      var i = 0
+      while (i < n) {
+        val v = at(vec, i)
+        var j = 0
+        while (j < v.length) {
+          val b = v(j) & 0xff
+          if (present(b) < 0) { present(b) = alphabet.length; alphabet += v(j) }
+          j += 1
+        }
+        i += 1
+      }
+      require(alphabet.length <= 64, s"BYTEPACK alphabet ${alphabet.length} > 64")
+      val width = if (alphabet.length <= 1) 0 else BitPack.bitsFor((alphabet.length - 1).toLong)
+      w.putByte(alphabet.length)
+      alphabet.foreach(b => w.putByte(b & 0xff))
+      w.putByte(width)
+      var total = 0L
+      i = 0
+      while (i < n) { val v = at(vec, i); w.putVarInt(v.length); total += v.length; i += 1 }
+      val codes = new Array[Long](total.toInt)
+      var k = 0
+      i = 0
+      while (i < n) {
+        val v = at(vec, i)
+        var j = 0
+        while (j < v.length) { codes(k) = present(v(j) & 0xff).toLong; k += 1; j += 1 }
+        i += 1
+      }
+      BitPack.pack(codes, 0, codes.length, width, w)
+
     case m => throw new IllegalArgumentException(s"bin method $m")
   }
 
@@ -106,6 +144,28 @@ object BinKernels {
         i = 0
         while (i < n) { out(i) = Fsst.decompress(table, r.getBytes(lens(i))); i += 1 }
 
+      case Method.BYTEPACK =>
+        val aSize = r.getByte()
+        val alphabet = new Array[Byte](aSize)
+        var i = 0
+        while (i < aSize) { alphabet(i) = r.getByte().toByte; i += 1 }
+        val width = r.getByte()
+        val lens = new Array[Int](n)
+        var total = 0L
+        i = 0
+        while (i < n) { lens(i) = r.getVarInt(); total += lens(i); i += 1 }
+        val codes = new Array[Long](total.toInt)
+        BitPack.unpack(r, codes.length, width, codes, 0)
+        var k = 0
+        i = 0
+        while (i < n) {
+          val v = new Array[Byte](lens(i))
+          var j = 0
+          while (j < v.length) { v(j) = alphabet(codes(k).toInt); k += 1; j += 1 }
+          out(i) = v
+          i += 1
+        }
+
       case m => throw new IllegalArgumentException(s"bin method $m")
     }
     if (validity != null) {
@@ -129,17 +189,63 @@ object Fsst {
   private val SAMPLE_BYTES = 1 << 15
   private val ROUNDS = 3
 
-  /** table: symbols(code) = bytes; lookup: first byte -> codes sorted by len desc */
+  /** table: symbols(code) = bytes. Match dispatch follows the FSST
+    * paper's structure: a 2-byte-prefix table for symbols of length >= 2
+    * (few candidates per prefix) plus a direct 1-byte code array — so
+    * the per-input-byte work is a couple of loads, not a scan over all
+    * symbols sharing the first byte.
+    */
   final class Table(val symbols: Array[Array[Byte]]) {
-    val byFirst: Array[Array[Int]] = {
-      val tmp = Array.fill(256)(List.empty[Int])
+    /** packed (code<<8 | 1) for 1-byte symbols, -1 otherwise */
+    private val oneByte: Array[Int] = {
+      val a = Array.fill(256)(-1)
       var c = 0
       while (c < symbols.length) {
-        val f = symbols(c)(0) & 0xff
-        tmp(f) = c :: tmp(f)
+        if (symbols(c).length == 1) a(symbols(c)(0) & 0xff) = (c << 8) | 1
         c += 1
       }
-      tmp.map(_.sortBy(c => -symbols(c).length).toArray)
+      a
+    }
+    /** symbols of length >= 2 grouped by first-two-bytes, longest first */
+    private val byPrefix2: Array[Array[Int]] = {
+      val m = new mutable.HashMap[Int, List[Int]]()
+      var c = 0
+      while (c < symbols.length) {
+        val s = symbols(c)
+        if (s.length >= 2) {
+          val k = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
+          m.update(k, c :: m.getOrElse(k, Nil))
+        }
+        c += 1
+      }
+      val a = new Array[Array[Int]](65536)
+      m.foreach { case (k, cs) => a(k) = cs.sortBy(c => -symbols(c).length).toArray }
+      a
+    }
+
+    /** Longest symbol matching data at pos, packed as (code << 8) | len;
+      * -1 if none. Allocation-free — this runs once per input byte.
+      */
+    def longestMatch(data: Array[Byte], pos: Int): Int = {
+      val b0 = data(pos) & 0xff
+      if (pos + 1 < data.length) {
+        val cands = byPrefix2((b0 << 8) | (data(pos + 1) & 0xff))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length) {
+            val code = cands(ci)
+            val sym = symbols(code)
+            val sl = sym.length
+            if (pos + sl <= data.length) {
+              var j = 2
+              while (j < sl && data(pos + j) == sym(j)) j += 1
+              if (j == sl) return (code << 8) | sl
+            }
+            ci += 1
+          }
+        }
+      }
+      oneByte(b0)
     }
   }
 
@@ -169,8 +275,8 @@ object Fsst {
       var prevStart = -1
       var prevLen = 0
       while (pos < s.length) {
-        val (code, len) = longestMatch(table, s, pos)
-        val curLen = if (code >= 0) len else 1
+        val m = table.longestMatch(s, pos)
+        val curLen = if (m >= 0) m & 0xff else 1
         // candidate: this unit alone
         val cur = new String(s, pos, curLen, java.nio.charset.StandardCharsets.ISO_8859_1)
         gain.update(cur, gain.getOrElse(cur, 0L) + curLen)
@@ -201,34 +307,23 @@ object Fsst {
     new Table(symbols)
   }
 
-  /** (code, matchedLen) or (-1, 0). */
-  @inline private def longestMatch(t: Table, data: Array[Byte], pos: Int): (Int, Int) = {
-    if (t.symbols.length == 0) return (-1, 0)
-    val cands = t.byFirst(data(pos) & 0xff)
-    var ci = 0
-    while (ci < cands.length) {
-      val code = cands(ci)
-      val sym = t.symbols(code)
-      if (pos + sym.length <= data.length) {
-        var j = 1
-        var ok = true
-        while (ok && j < sym.length) { if (data(pos + j) != sym(j)) ok = false; j += 1 }
-        if (ok) return (code, sym.length)
-      }
-      ci += 1
-    }
-    (-1, 0)
-  }
-
   def compress(t: Table, data: Array[Byte]): Array[Byte] = {
-    val w = new Bytes.Writer(data.length + 8)
+    // worst case: every byte escaped = 2 bytes out per byte in
+    val out = new Array[Byte]((data.length * 2) + 8)
+    var o = 0
     var pos = 0
-    while (pos < data.length) {
-      val (code, len) = longestMatch(t, data, pos)
-      if (code >= 0) { w.putByte(code); pos += len }
-      else { w.putByte(ESCAPE); w.putByte(data(pos) & 0xff); pos += 1 }
+    if (t.symbols.length == 0) {
+      while (pos < data.length) {
+        out(o) = ESCAPE.toByte; out(o + 1) = data(pos); o += 2; pos += 1
+      }
+    } else {
+      while (pos < data.length) {
+        val m = t.longestMatch(data, pos)
+        if (m >= 0) { out(o) = (m >>> 8).toByte; o += 1; pos += m & 0xff }
+        else { out(o) = ESCAPE.toByte; out(o + 1) = data(pos); o += 2; pos += 1 }
+      }
     }
-    w.result()
+    java.util.Arrays.copyOf(out, o)
   }
 
   def decompress(t: Table, enc: Array[Byte]): Array[Byte] = {

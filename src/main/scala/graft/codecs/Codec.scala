@@ -45,6 +45,7 @@ object Method {
   // strings / binary
   val DICT: Byte = 6 // chunk-local dictionary, bit-packed codes
   val FSST: Byte = 7 // symbol-table byte compression (FSST-style)
+  val BYTEPACK: Byte = 8 // small-alphabet nibble/bit packing (hex commits etc.)
 
   def name(m: Byte): String = m match {
     case PLAIN => "plain"
@@ -55,6 +56,7 @@ object Method {
     case SHUFFLE => "shuffle"
     case DICT => "dict"
     case FSST => "fsst"
+    case BYTEPACK => "bytepack"
     case _ => s"m$m"
   }
 }

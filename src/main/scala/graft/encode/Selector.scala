@@ -16,11 +16,19 @@ import graft.codecs._
   */
 object Selector {
 
-  /** Fraction of chunk rows sampled for trial encodes (min/max bounds). */
-  val SAMPLE_MIN = 256
+  /** Trial-encode sample bounds. Rows for fixed-width vectors; for
+    * var-length vectors the sample is additionally BYTE-bounded so wide
+    * values (multi-KB source files) don't make the trials cost more
+    * than the real encode (same motivation as the reference capping its
+    * STUNE trial buffers, python-blosc2 core.py:1621-1640).
+    */
+  val SAMPLE_MIN = 64
   val SAMPLE_MAX = 4096
+  val SAMPLE_BYTES_MAX: Long = 256 * 1024
 
   val ZSTD_LEVEL = 3
+  /** matches the reference's default clevel (python-blosc2 storage.py:74-76) */
+  val ZSTD_HIGH = 5
 
   def candidatesFor(vec: ColVec): Seq[Plan] = vec match {
     case v: LongVec =>
@@ -43,34 +51,75 @@ object Selector {
       if (isConstB(v)) Seq(Plan(Method.CONST, Entropy.NONE))
       else {
         val card = sampleCardinality(v)
-        val base =
-          if (card.lowCardinality)
-            Seq(
-              Plan(Method.DICT, Entropy.ZSTD, ZSTD_LEVEL),
-              Plan(Method.DICT, Entropy.NONE),
-              Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL)
-            )
-          else
-            Seq(
-              Plan(Method.FSST, Entropy.ZSTD, ZSTD_LEVEL),
-              Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL),
-              Plan(Method.PLAIN, Entropy.LZ4)
-            )
-        base
+        if (card.lowCardinality)
+          Seq(
+            Plan(Method.DICT, Entropy.ZSTD, ZSTD_LEVEL),
+            Plan(Method.DICT, Entropy.NONE),
+            Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_HIGH)
+          )
+        else {
+          // small byte alphabet (hex commits, base32 ids…) → bit-pack;
+          // validated on the FULL chunk so the encode can't fail later
+          val pack =
+            if (sampleAlphabet(v) <= 20 && fullAlphabet(v) <= 64)
+              Seq(Plan(Method.BYTEPACK, Entropy.NONE), Plan(Method.BYTEPACK, Entropy.ZSTD, ZSTD_LEVEL))
+            else Seq.empty
+          // size-only cost model: plain+zstd3/lz4 are dominated by
+          // plain+zstd5, so they are not offered
+          pack ++ Seq(
+            Plan(Method.FSST, Entropy.ZSTD, ZSTD_LEVEL),
+            Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_HIGH)
+          )
+        }
       }
   }
+
+  /** Cost model: size + priced CPU time, with DETERMINISTIC per-plan
+    * time constants (ns per input byte, measured single-core by
+    * graft.bench.MicroBench on this container) instead of wall-clock,
+    * so task retries choose identical plans. Same pattern as the
+    * reference's measured planner constants
+    * (python-blosc2 ctable_indexing.py:238-242).
+    */
+  def nsPerByte(p: Plan): Double = {
+    val m: Double = p.method match {
+      case Method.FSST => 12.0 // post-prefix2-dispatch
+      case Method.DICT => 8.0
+      case Method.BYTEPACK => 5.0
+      case Method.RLE | Method.FOR_PACK | Method.DELTA_PACK | Method.SHUFFLE => 2.0
+      case _ => 0.5
+    }
+    val e: Double = p.entropy match {
+      case Entropy.ZSTD => if (p.level >= 5) 20.0 else 8.0
+      case Entropy.LZ4 => 2.0
+      case _ => 0.0
+    }
+    m + e
+  }
+
+  /** Price of one ns of core time, in bytes of storage: 1 core-second
+    * buys 5 MB. Keeps FSST/zstd-5 only where they earn their CPU.
+    */
+  val TIME_PRICE = 0.005
 
   /** Pick the best plan for this chunk by trial-encoding a sample. */
   def choose(vec: ColVec): Plan = {
     val cands = candidatesFor(vec)
     if (cands.length == 1) return cands.head
     val s = sampleVec(vec)
+    val sampleBytes: Long = s match {
+      case v: BinVec =>
+        var t = 0L; var i = 0
+        while (i < v.n) { val x = v.values(i); if (x != null) t += x.length; i += 1 }
+        t
+      case v => v.n * 8L
+    }
     var best: Plan = null
-    var bestCost = Long.MaxValue
+    var bestCost = Double.MaxValue
     cands.foreach { p =>
       val cost =
-        try ChunkCodec.encode(s, p).length.toLong
-        catch { case _: Throwable => Long.MaxValue }
+        try ChunkCodec.encode(s, p).length.toDouble + nsPerByte(p) * sampleBytes * TIME_PRICE
+        catch { case _: Throwable => Double.MaxValue }
       if (cost < bestCost) { bestCost = cost; best = p }
     }
     if (best == null) Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL) else best
@@ -79,7 +128,19 @@ object Selector {
   /** Deterministic strided sample of the chunk. */
   def sampleVec(vec: ColVec): ColVec = {
     val n = vec.n
-    val target = math.min(SAMPLE_MAX, math.max(SAMPLE_MIN, n / 16))
+    var target = math.min(SAMPLE_MAX, math.max(SAMPLE_MIN, n / 16))
+    vec match {
+      case v: BinVec =>
+        var total = 0L
+        var i = 0
+        while (i < n) { val x = v.values(i); if (x != null) total += x.length; i += 1 }
+        if (total > 0) {
+          val avg = math.max(1L, total / n)
+          val byRows = (SAMPLE_BYTES_MAX / avg).toInt
+          target = math.max(SAMPLE_MIN, math.min(target, byRows))
+        }
+      case _ =>
+    }
     if (n <= target) return vec
     val step = n.toDouble / target
     vec match {
@@ -114,6 +175,53 @@ object Selector {
 
   final case class CardInfo(distinct: Int, sampled: Int) {
     def lowCardinality: Boolean = distinct.toDouble <= math.max(16.0, sampled * 0.25)
+  }
+
+  /** Distinct byte values in the sample (strided). */
+  def sampleAlphabet(v: BinVec): Int = {
+    val seen = new Array[Boolean](256)
+    var count = 0
+    val n = v.n
+    val step = math.max(1, n / 256)
+    var i = 0
+    while (i < n) {
+      val x = v.values(i)
+      if (x != null) {
+        var j = 0
+        while (j < x.length) {
+          val b = x(j) & 0xff
+          if (!seen(b)) { seen(b) = true; count += 1 }
+          j += 1
+        }
+      }
+      i += step
+    }
+    count
+  }
+
+  /** Distinct byte values over the WHOLE chunk (validation before
+    * committing to BYTEPACK). Early-exits once the bound is crossed.
+    */
+  def fullAlphabet(v: BinVec, bound: Int = 64): Int = {
+    val seen = new Array[Boolean](256)
+    var count = 0
+    var i = 0
+    while (i < v.n) {
+      val x = v.values(i)
+      if (x != null) {
+        var j = 0
+        while (j < x.length) {
+          val b = x(j) & 0xff
+          if (!seen(b)) {
+            seen(b) = true; count += 1
+            if (count > bound) return count
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    count
   }
 
   def sampleCardinality(v: BinVec): CardInfo = {

@@ -2,11 +2,11 @@ package graft.encode
 
 import graft.codecs._
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
-import scala.collection.mutable.ArrayBuffer
 
 /** DataFrame <-> Dataset[EncodedBlock]: the chunked per-column encode /
   * decode pipeline expressed as shuffle-free `mapPartitions` /
@@ -17,6 +17,12 @@ import scala.collection.mutable.ArrayBuffer
   * 2^24-byte default chunks, python-blosc2 `schunk.py:400-411`); each
   * column slice gets its own auto-selected codec plan (Selector).
   *
+  * The encode hot path consumes Catalyst InternalRows
+  * (`queryExecution.toRdd`) — string bytes come straight out of the
+  * UnsafeRow buffer (UTF8String.getBytes) with no char-set decode and
+  * no external Row materialization, the same access level Spark's own
+  * physical operators use.
+  *
   * Scale notes: encode/decode/verify are embarrassingly parallel — no
   * shuffle, no driver traffic; state is O(chunk). At 1000 executors on
   * 100 TB the plan is a single mapPartitions stage over the scan.
@@ -26,13 +32,19 @@ object TableCodec {
   val CHUNK_ROWS: Int = 1 << 16 // 64Ki rows
   val CHUNK_BYTES: Long = 1L << 24 // 16 MiB raw
 
+  /** Zone-map keys longer than this are dropped (minKey "" = -inf,
+    * maxKey "" = +inf) — truncating a max bound would be incorrect, and
+    * nobody range-prunes on multi-KB content values.
+    */
+  val ZONE_KEY_MAX = 64
+
   private implicit val blockEnc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
   private implicit val verifyEnc: org.apache.spark.sql.Encoder[ChunkVerify] = Encoders.product[ChunkVerify]
 
   // ---------------------------------------------------------------- encode
 
-  /** Encode every column of df. `shardOf` extracts the lineage shard id
-    * from a row (pass `_ => 0` when lineage is not in play).
+  /** Encode every column of df. `shardCol` (if set) names an int column
+    * carrying the lineage shard id; it is consumed, not encoded.
     */
   def encode(
       df: DataFrame,
@@ -40,16 +52,18 @@ object TableCodec {
       chunkBytes: Long = CHUNK_BYTES,
       shardCol: Option[String] = None
   ): Dataset[EncodedBlock] = {
+    val spark = df.sparkSession
     val schema = df.schema
     val shardIdx = shardCol.map(schema.fieldIndex)
-    val dataFields = schema.fields.zipWithIndex.filter { case (f, i) => !shardIdx.contains(i) }
-    df.mapPartitions { rows =>
+    val dataFields = schema.fields.zipWithIndex.filter { case (_, i) => !shardIdx.contains(i) }
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
       encodePartition(rows, dataFields, shardIdx, chunkRows, chunkBytes)
     }
+    spark.createDataset(rdd)
   }
 
   private def encodePartition(
-      rows: Iterator[Row],
+      rows: Iterator[InternalRow],
       fields: Array[(StructField, Int)],
       shardIdx: Option[Int],
       chunkRows: Int,
@@ -57,6 +71,8 @@ object TableCodec {
   ): Iterator[EncodedBlock] = {
     val partId = TaskContext.getPartitionId()
     val builders = fields.map { case (f, _) => ColBuilder(f.dataType) }
+    val fieldIdx = fields.map(_._2)
+    val shardAt = shardIdx.getOrElse(-1)
     var chunkId = 0L
     var curShard = 0
     var nRows = 0
@@ -100,12 +116,12 @@ object TableCodec {
         if (done) return false
         while (rows.hasNext && pending.isEmpty) {
           val row = rows.next()
-          val shard = shardIdx.map(row.getInt).getOrElse(0)
+          val shard = if (shardAt >= 0) row.getInt(shardAt) else 0
           if (nRows > 0 && shard != curShard) pending = flush()
           curShard = shard
           var i = 0
-          while (i < fields.length) {
-            rawBytes += builders(i).add(row, fields(i)._2)
+          while (i < fieldIdx.length) {
+            rawBytes += builders(i).add(row, fieldIdx(i))
             i += 1
           }
           nRows += 1
@@ -180,12 +196,12 @@ object TableCodec {
 }
 
 /** Per-column accumulation during encode: values + running stats
-  * (min/max zone map, logical byte size, sha256 digest over logical
-  * values). The stats mirror the reference's per-chunk summary
-  * accumulator (python-blosc2 `ctable.py:3812`).
+  * (min/max zone map, logical byte size). Unboxed growable arrays — no
+  * per-value boxing on the hot path. The stats mirror the reference's
+  * per-chunk summary accumulator (python-blosc2 `ctable.py:3812`).
   */
 sealed trait ColBuilder {
-  def add(row: Row, idx: Int): Long // returns raw bytes added
+  def add(row: InternalRow, idx: Int): Long // returns raw bytes added
   def result(): ColVec
   def clear(): Unit
   def rawBytes: Long
@@ -196,10 +212,10 @@ sealed trait ColBuilder {
 object ColBuilder {
 
   def apply(dt: DataType): ColBuilder = dt match {
-    case LongType | IntegerType => new LongBuilder
+    case LongType => new LongBuilder(isInt = false)
+    case IntegerType => new LongBuilder(isInt = true)
     case DoubleType => new DoubleBuilder
-    case StringType => new BinBuilder(string = true)
-    case BinaryType => new BinBuilder(string = false)
+    case StringType | BinaryType => new BinBuilder(string = dt == StringType)
     case t => throw new IllegalArgumentException(s"unsupported column type $t")
   }
 
@@ -243,101 +259,135 @@ object ColBuilder {
     while (i < 8) { buf(i) = (v >>> (8 * i)).toByte; i += 1 }
   }
 
-  private final class LongBuilder extends ColBuilder {
-    private val values = new ArrayBuffer[Long]()
-    private var nulls: ArrayBuffer[Int] = null
+  private final class LongBuilder(isInt: Boolean) extends ColBuilder {
+    private var values = new Array[Long](1024)
+    private var n = 0
+    private var validity: Array[Boolean] = null
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
-    def add(row: Row, idx: Int): Long = {
+
+    @inline private def ensure(): Unit = {
+      if (n == values.length) {
+        values = java.util.Arrays.copyOf(values, n * 2)
+        if (validity != null) validity = java.util.Arrays.copyOf(validity, n * 2)
+      }
+    }
+
+    def add(row: InternalRow, idx: Int): Long = {
+      ensure()
       if (row.isNullAt(idx)) {
-        if (nulls == null) nulls = new ArrayBuffer[Int]()
-        nulls += values.length
-        values += 0L
+        if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
+        validity(n) = false
+        values(n) = 0L
       } else {
-        val v = row.get(idx) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case x => x.asInstanceOf[Number].longValue()
-        }
+        val v = if (isInt) row.getInt(idx).toLong else row.getLong(idx)
+        if (validity != null) validity(n) = true
         if (v < mn) mn = v
         if (v > mx) mx = v
-        values += v
+        values(n) = v
       }
+      n += 1
       8L
     }
-    def result(): ColVec = {
-      val validity = if (nulls == null) null else {
-        val a = Array.fill(values.length)(true); nulls.foreach(a(_) = false); a
-      }
-      LongVec(values.toArray, validity)
-    }
-    def clear(): Unit = { values.clear(); nulls = null; mn = Long.MaxValue; mx = Long.MinValue }
-    def rawBytes: Long = values.length * 8L
+    def result(): ColVec =
+      LongVec(java.util.Arrays.copyOf(values, n),
+        if (validity == null) null else java.util.Arrays.copyOf(validity, n))
+    def clear(): Unit = { n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue }
+    def rawBytes: Long = n * 8L
     def minKey: String = if (mn == Long.MaxValue) "" else mn.toString
     def maxKey: String = if (mx == Long.MinValue) "" else mx.toString
   }
 
   private final class DoubleBuilder extends ColBuilder {
-    private val values = new ArrayBuffer[Double]()
-    private var nulls: ArrayBuffer[Int] = null
+    private var values = new Array[Double](1024)
+    private var n = 0
+    private var validity: Array[Boolean] = null
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
-    def add(row: Row, idx: Int): Long = {
+
+    @inline private def ensure(): Unit = {
+      if (n == values.length) {
+        values = java.util.Arrays.copyOf(values, n * 2)
+        if (validity != null) validity = java.util.Arrays.copyOf(validity, n * 2)
+      }
+    }
+
+    def add(row: InternalRow, idx: Int): Long = {
+      ensure()
       if (row.isNullAt(idx)) {
-        if (nulls == null) nulls = new ArrayBuffer[Int]()
-        nulls += values.length
-        values += 0.0
+        if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
+        validity(n) = false
+        values(n) = 0.0
       } else {
         val v = row.getDouble(idx)
+        if (validity != null) validity(n) = true
         if (v < mn) mn = v
         if (v > mx) mx = v
-        values += v
+        values(n) = v
       }
+      n += 1
       8L
     }
-    def result(): ColVec = {
-      val validity = if (nulls == null) null else {
-        val a = Array.fill(values.length)(true); nulls.foreach(a(_) = false); a
-      }
-      DoubleVec(values.toArray, validity)
-    }
-    def clear(): Unit = { values.clear(); nulls = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity }
-    def rawBytes: Long = values.length * 8L
+    def result(): ColVec =
+      DoubleVec(java.util.Arrays.copyOf(values, n),
+        if (validity == null) null else java.util.Arrays.copyOf(validity, n))
+    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity }
+    def rawBytes: Long = n * 8L
     def minKey: String = if (mn.isPosInfinity) "" else mn.toString
     def maxKey: String = if (mx.isNegInfinity) "" else mx.toString
   }
 
   private final class BinBuilder(string: Boolean) extends ColBuilder {
-    private val values = new ArrayBuffer[Array[Byte]]()
+    private var values = new Array[Array[Byte]](1024)
+    private var n = 0
     private var hasNull = false
     private var bytes = 0L
-    private var mn: String = null
-    private var mx: String = null
-    def add(row: Row, idx: Int): Long = {
+    private var mn: Array[Byte] = null
+    private var mx: Array[Byte] = null
+    private var zoneDead = false // some value exceeded ZONE_KEY_MAX
+
+    @inline private def ensure(): Unit = {
+      if (n == values.length) values = java.util.Arrays.copyOf(values, n * 2)
+    }
+
+    /** unsigned lexicographic byte compare (== UTF-8 code point order) */
+    @inline private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      java.util.Arrays.compareUnsigned(a, b)
+    }
+
+    def add(row: InternalRow, idx: Int): Long = {
+      ensure()
       if (row.isNullAt(idx)) {
         hasNull = true
-        values += null
+        values(n) = null
+        n += 1
         1L
       } else {
-        val v = if (string) row.getString(idx).getBytes(UTF_8) else row.getAs[Array[Byte]](idx)
-        values += v
+        val v = if (string) row.getUTF8String(idx).getBytes else row.getBinary(idx)
+        values(n) = v
+        n += 1
         bytes += v.length
-        if (string) {
-          val s = row.getString(idx)
-          val key = if (s.length > 32) s.substring(0, 32) else s
-          if (mn == null || key < mn) mn = key
-          if (mx == null || key > mx) mx = key
+        if (v.length > TableCodec.ZONE_KEY_MAX) zoneDead = true
+        else if (!zoneDead) {
+          if (mn == null || cmp(v, mn) < 0) mn = v
+          if (mx == null || cmp(v, mx) > 0) mx = v
         }
         v.length.toLong
       }
     }
     def result(): ColVec = {
-      val validity = if (!hasNull) null else values.map(_ != null).toArray
-      BinVec(values.toArray, validity)
+      val vals = java.util.Arrays.copyOf(values, n)
+      val validity = if (!hasNull) null else {
+        val a = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { a(i) = vals(i) != null; i += 1 }
+        a
+      }
+      BinVec(vals, validity)
     }
-    def clear(): Unit = { values.clear(); hasNull = false; bytes = 0L; mn = null; mx = null }
+    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = false }
     def rawBytes: Long = bytes
-    def minKey: String = if (mn == null) "" else mn
-    def maxKey: String = if (mx == null) "" else mx
+    def minKey: String = if (zoneDead || mn == null) "" else new String(mn, UTF_8)
+    def maxKey: String = if (zoneDead || mx == null) "" else new String(mx, UTF_8)
   }
 }

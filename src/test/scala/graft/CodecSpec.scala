@@ -183,9 +183,23 @@ class CodecSpec extends AnyFunSuite {
     assert(arangePlan.method == Method.DELTA_PACK || arangePlan.method == Method.FOR_PACK)
     val dictPlan = Selector.choose(BinVec(lowCardStrings(5000)))
     assert(dictPlan.method == Method.DICT)
-    // hexCommits: incompressible → must NOT pick dict
+    // hexCommits: 16-byte alphabet → bytepack (4 bits/char), never dict
     val hexPlan = Selector.choose(BinVec(hexCommits(3000)))
-    assert(hexPlan.method != Method.DICT)
+    assert(hexPlan.method == Method.BYTEPACK, hexPlan.label)
+  }
+
+  test("bytepack roundtrips and halves hex commits") {
+    val hex = hexCommits(3000)
+    for (e <- Seq(Entropy.NONE, Entropy.ZSTD)) roundtripBin(hex, Method.BYTEPACK, e)
+    val packed = ChunkCodec.encode(BinVec(hex), Plan(Method.BYTEPACK, Entropy.NONE)).length
+    val plain = ChunkCodec.encode(BinVec(hex), Plan(Method.PLAIN, Entropy.NONE)).length
+    assert(packed < plain * 0.55, s"packed=$packed plain=$plain")
+    // mixed/binary alphabet > 64 must be rejected by encode (selector
+    // validates the full chunk before offering the plan)
+    val binData = Array.tabulate(50)(i => Array.tabulate(100)(j => ((i * 7 + j) % 256).toByte))
+    intercept[IllegalArgumentException] {
+      ChunkCodec.encode(BinVec(binData), Plan(Method.BYTEPACK, Entropy.NONE))
+    }
   }
 
   test("selector choice always roundtrips (property)") {

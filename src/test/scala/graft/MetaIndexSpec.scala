@@ -1,0 +1,69 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.encode.{MetaIndex, TableCodec}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Zone-map pruning (the reference's SUMMARY-index analog) and the
+  * Catalyst Expression / Aggregator surface.
+  */
+class MetaIndexSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val df = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    Corpus.generate(spark, 2000, 8).toDF()
+      .withColumn("row_id", monotonically_increasing_id())
+      // sort within partitions so zone maps are selective on repo
+      .sortWithinPartitions("repo")
+  }
+  private lazy val blocks = TableCodec.encode(df, chunkRows = 100).cache()
+
+  test("zone-map pruning skips most chunks for a selective predicate") {
+    val target = df.select("repo").orderBy("repo").head().getString(0)
+    val (cand, total) = MetaIndex.pruningStats(blocks, "repo", target, target)
+    assert(total >= 20, s"want many chunks, got $total")
+    assert(cand < total / 2, s"pruning too weak: $cand of $total chunks")
+
+    // result equals full-scan filter
+    val viaIndex = MetaIndex.lookup(blocks, df.schema, "repo", target, target)
+    val viaScan = df.filter(col("repo") === target)
+    assert(viaIndex.count() == viaScan.count())
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(sum(crc32(concat_ws("|", col("repo"), col("path"), col("commit"))))).head().getLong(0)
+    assert(h(viaIndex) == h(viaScan))
+  }
+
+  test("zone-map range lookup on numeric-as-string column is exact") {
+    val viaIndex = MetaIndex.lookup(blocks, df.schema, "lang", "c", "c")
+    val expected = df.filter(col("lang") === "c").count()
+    assert(viaIndex.count() == expected)
+  }
+
+  test("graft_block_rows / graft_block_raw_len read headers without decoding") {
+    GraftFunctions.register(spark)
+    val cols = blocks.flatMap(b => b.cols.map(c => (c.name, b.nRows, c.nBytes, c.payload)))
+      .toDF("name", "nRows", "nBytes", "payload")
+    val checked = cols.select(
+      col("nRows"),
+      GraftFunctions.block_rows(col("payload")).as("hdr_rows"),
+      col("name"), col("nBytes"),
+      GraftFunctions.block_raw_len(col("payload")).as("hdr_raw"))
+    assert(checked.filter(col("nRows") =!= col("hdr_rows")).count() == 0)
+    // SQL registration works too
+    cols.createOrReplaceTempView("enc_cols")
+    val viaSql = spark.sql("SELECT count(*) FROM enc_cols WHERE graft_block_rows(payload) = nRows")
+      .head().getLong(0)
+    assert(viaSql == cols.count())
+  }
+
+  test("RatioAgg UDAF computes global compression ratio") {
+    val pairs = blocks.flatMap(_.cols.map(c => (c.nBytes, c.cBytes)))
+    val ratio = pairs.select(GraftFunctions.RatioAgg.toColumn).head()
+    val (n, c) = pairs.collect().foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    assert(math.abs(ratio - n.toDouble / c) < 1e-9)
+    assert(ratio > 1.5, s"corpus should compress, got $ratio")
+  }
+}
