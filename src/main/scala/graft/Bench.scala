@@ -41,6 +41,20 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Aggregate executor cpu/run time across tasks (diagnoses whether a
+    * stage is CPU-bound, waiting, or under-scheduled).
+    */
+  final class TaskAgg extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime); tasks.incrementAndGet() }
+    }
+    def snapshot: (Long, Long, Long) = (cpuNs.get, runMs.get, tasks.get)
+  }
+
   /** Encode+decode throughput in the production pipeline shape:
     * parquet scan → encode → parquet(blocks) → decode. The corpus
     * parquet is generated once (untimed, reused across parallelism
@@ -52,9 +66,17 @@ object Bench {
   def corpusBench(spark: SparkSession, nRows: Long, nParts: Int): Map[String, Double] = {
     val path = s"/tmp/graft-bench/corpus-$nRows-$nParts.parquet"
     if (!new java.io.File(path).exists()) {
+      // uncompressed: the bench measures OUR codec, not snappy decode
       Corpus.generate(spark, nRows, nParts).toDF()
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").option("compression", "none").parquet(path)
     }
+    // small splits so task count ≫ cores at every parallelism level
+    // (file-split granularity, not gen partitions, drives encode tasks)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+    // multi-KB strings make the default 4096-row reader batches ~26 MB
+    // of per-thread on-heap vector churn; small batches keep the scan
+    // allocation-light at high thread counts
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
     val corpus = spark.read.parquet(path)
     val nBytes = corpus.select(
       sum(length(col("content")) + length(col("repo")) + length(col("path")) +
@@ -62,7 +84,13 @@ object Bench {
 
     // warmup pass (JIT + page cache) then best-of-2 timed passes
     TableCodec.encode(corpus.limit(math.min(nRows, 20000L).toInt)).count()
+    val agg = new TaskAgg
+    spark.sparkContext.addSparkListener(agg)
     val (_, encSecA) = time(TableCodec.encode(corpus).count())
+    spark.sparkContext.removeSparkListener(agg)
+    val (cpuNs, runMs, nTasks) = agg.snapshot
+    System.err.println(f"[bench] encode pass A: wall=$encSecA%.1fs taskRun=${runMs / 1000.0}%.1fs " +
+      f"taskCpu=${cpuNs / 1e9}%.1fs tasks=$nTasks par=${runMs / 1000.0 / encSecA}%.1f")
     val blocksPath = s"/tmp/graft-bench/blocks-$nRows-$nParts-${spark.sparkContext.defaultParallelism}"
     val (_, encSecB) = time {
       TableCodec.encode(corpus).write.mode("overwrite").parquet(blocksPath)

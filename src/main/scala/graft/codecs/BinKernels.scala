@@ -307,9 +307,16 @@ object Fsst {
     new Table(symbols)
   }
 
+  // reusable per-thread scratch (worst case 2 bytes out per byte in);
+  // avoids a fresh 2x-size allocation per value on the hot path
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
   def compress(t: Table, data: Array[Byte]): Array[Byte] = {
-    // worst case: every byte escaped = 2 bytes out per byte in
-    val out = new Array[Byte]((data.length * 2) + 8)
+    val need = data.length * 2 + 8
+    var out = scratch.get()
+    if (out.length < need) { out = new Array[Byte](need); scratch.set(out) }
     var o = 0
     var pos = 0
     if (t.symbols.length == 0) {

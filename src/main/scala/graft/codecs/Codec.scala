@@ -73,6 +73,18 @@ object Entropy {
 
   private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
+  // One zstd context per thread, reused across calls. The static
+  // Zstd.compress/decompress helpers allocate a multi-MB native
+  // workspace per call (mmap/munmap) — at 32 threads that serializes on
+  // the kernel mmap lock and dominates task CPU (measured via jstack +
+  // vmstat sys%).
+  private val zc = new ThreadLocal[com.github.luben.zstd.ZstdCompressCtx] {
+    override def initialValue() = new com.github.luben.zstd.ZstdCompressCtx()
+  }
+  private val zd = new ThreadLocal[com.github.luben.zstd.ZstdDecompressCtx] {
+    override def initialValue() = new com.github.luben.zstd.ZstdDecompressCtx()
+  }
+
   def name(e: Byte): String = e match {
     case NONE => "none"
     case LZ4 => "lz4"
@@ -82,7 +94,10 @@ object Entropy {
 
   def compress(e: Byte, level: Int, raw: Array[Byte]): Array[Byte] = e match {
     case NONE => raw
-    case ZSTD => com.github.luben.zstd.Zstd.compress(raw, level)
+    case ZSTD =>
+      val ctx = zc.get()
+      ctx.setLevel(level)
+      ctx.compress(raw)
     case LZ4 =>
       val c = lz4.fastCompressor()
       val out = new Array[Byte](c.maxCompressedLength(raw.length))
@@ -95,7 +110,7 @@ object Entropy {
     case NONE => comp
     case ZSTD =>
       val out = new Array[Byte](rawLen)
-      com.github.luben.zstd.Zstd.decompress(out, comp)
+      zd.get().decompressByteArray(out, 0, rawLen, comp, 0, comp.length)
       out
     case LZ4 =>
       val out = new Array[Byte](rawLen)
@@ -125,7 +140,16 @@ object ChunkCodec {
   val VERSION = 1
 
   def encode(vec: ColVec, plan: Plan): Array[Byte] = {
-    val body = new Bytes.Writer(1 << 14)
+    // pre-size to the raw payload estimate: a 16 MB chunk body would
+    // otherwise be copied ~10x by doubling growth
+    val sizeHint = vec match {
+      case v: BinVec =>
+        var t = 64L; var i = 0
+        while (i < v.n) { val x = v.values(i); if (x != null) t += x.length + 3; i += 1 }
+        math.min(t, Int.MaxValue / 2L).toInt
+      case v => v.n * 8 + 64
+    }
+    val body = new Bytes.Writer(math.max(1 << 10, sizeHint))
     val nulls = vec.nullCount
     if (nulls > 0) writeValidity(vec.validity, body)
     val colType = vec match {

@@ -83,14 +83,14 @@ object Selector {
     */
   def nsPerByte(p: Plan): Double = {
     val m: Double = p.method match {
-      case Method.FSST => 12.0 // post-prefix2-dispatch
+      case Method.FSST => 11.0 // ~94 MB/s measured (prefix2 dispatch, ctx reuse)
       case Method.DICT => 8.0
       case Method.BYTEPACK => 5.0
       case Method.RLE | Method.FOR_PACK | Method.DELTA_PACK | Method.SHUFFLE => 2.0
       case _ => 0.5
     }
     val e: Double = p.entropy match {
-      case Entropy.ZSTD => if (p.level >= 5) 20.0 else 8.0
+      case Entropy.ZSTD => if (p.level >= 5) 11.0 else 6.5 // 87 / 155 MB/s measured
       case Entropy.LZ4 => 2.0
       case _ => 0.0
     }
@@ -98,31 +98,80 @@ object Selector {
   }
 
   /** Price of one ns of core time, in bytes of storage: 1 core-second
-    * buys 5 MB. Keeps FSST/zstd-5 only where they earn their CPU.
+    * buys 0.5 MB. Size-leaning: the north rule's hard gate is total
+    * compressed size ≤ the blosc2 baseline; CPU still breaks near-ties
+    * (keeps bytepack over zstd-5 for hex, drops hopeless candidates).
     */
-  val TIME_PRICE = 0.005
+  val TIME_PRICE = 0.0005
 
-  /** Pick the best plan for this chunk by trial-encoding a sample. */
+  /** When the two best plans are within this factor on the small
+    * sample, escalate to a large sample. Needed because zstd's match
+    * window covers a small sample entirely (flattering PLAIN+zstd) but
+    * not a 16 MB chunk, where FSST's global symbol table wins —
+    * measured crossover ≈ 1–1.5 MB of sample.
+    */
+  val ESCALATE_MARGIN = 1.06
+  val LARGE_SAMPLE_BYTES: Long = 3L * 512 * 1024
+
+  private def vecBytes(s: ColVec): Long = s match {
+    case v: BinVec =>
+      var t = 0L; var i = 0
+      while (i < v.n) { val x = v.values(i); if (x != null) t += x.length; i += 1 }
+      t
+    case v => v.n * 8L
+  }
+
+  private def trialCost(s: ColVec, sBytes: Long, p: Plan): Double =
+    try ChunkCodec.encode(s, p).length.toDouble + nsPerByte(p) * sBytes * TIME_PRICE
+    catch { case _: Throwable => Double.MaxValue }
+
+  /** Pick the best plan for this chunk: trial-encode a small sample,
+    * escalating near-ties to a large sample (two-stage STUNE).
+    */
   def choose(vec: ColVec): Plan = {
     val cands = candidatesFor(vec)
     if (cands.length == 1) return cands.head
     val s = sampleVec(vec)
-    val sampleBytes: Long = s match {
-      case v: BinVec =>
-        var t = 0L; var i = 0
-        while (i < v.n) { val x = v.values(i); if (x != null) t += x.length; i += 1 }
-        t
-      case v => v.n * 8L
-    }
-    var best: Plan = null
-    var bestCost = Double.MaxValue
-    cands.foreach { p =>
-      val cost =
-        try ChunkCodec.encode(s, p).length.toDouble + nsPerByte(p) * sampleBytes * TIME_PRICE
-        catch { case _: Throwable => Double.MaxValue }
-      if (cost < bestCost) { bestCost = cost; best = p }
+    val sBytes = vecBytes(s)
+    val scored = cands.map(p => p -> trialCost(s, sBytes, p)).sortBy(_._2)
+    val (best, bestCost) = scored.head
+    if (scored.length >= 2 && scored(1)._2 <= bestCost * ESCALATE_MARGIN && vec.n > s.n) {
+      val big = largeSample(vec)
+      if (big.n > s.n) {
+        val bBytes = vecBytes(big)
+        val (a, b) = (scored.head._1, scored(1)._1)
+        return if (trialCost(big, bBytes, a) <= trialCost(big, bBytes, b)) a else b
+      }
     }
     if (best == null) Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL) else best
+  }
+
+  /** Large sample: 8 evenly spaced CONTIGUOUS runs totaling up to
+    * LARGE_SAMPLE_BYTES — contiguity preserves the cross-value
+    * redundancy the entropy stage sees on the real chunk.
+    */
+  def largeSample(vec: ColVec): ColVec = vec match {
+    case v: BinVec =>
+      val n = v.n
+      val groups = 8
+      val perGroup = LARGE_SAMPLE_BYTES / groups
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      val vl = scala.collection.mutable.ArrayBuffer[Boolean]()
+      var g = 0
+      while (g < groups) {
+        var i = (n.toLong * g / groups).toInt
+        var t = 0L
+        while (i < n && t < perGroup && (g == groups - 1 || i < (n.toLong * (g + 1) / groups).toInt)) {
+          val x = v.values(i)
+          out += x
+          if (v.validity != null) vl += v.validity(i)
+          if (x != null) t += x.length
+          i += 1
+        }
+        g += 1
+      }
+      BinVec(out.toArray, if (v.validity == null) null else vl.toArray)
+    case other => sampleVec(other)
   }
 
   /** Deterministic strided sample of the chunk. */

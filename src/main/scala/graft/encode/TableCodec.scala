@@ -143,24 +143,33 @@ object TableCodec {
   // ---------------------------------------------------------------- decode
 
   /** Inverse of encode: rebuild the original rows (column order = the
-    * order recorded in the blocks). Shuffle-free flatMap.
+    * order recorded in the blocks). Shuffle-free flatMap. When
+    * `shardColName` is set, the block's lineage shard id is surfaced as
+    * an extra int column (used by copy-on-write delete).
     */
-  def decode(blocks: Dataset[EncodedBlock], schema: StructType): DataFrame = {
+  def decode(blocks: Dataset[EncodedBlock], schema: StructType,
+             shardColName: Option[String] = None): DataFrame = {
     val names = schema.fieldNames
+    val outSchema = shardColName match {
+      case Some(s) => StructType(schema.fields :+ StructField(s, IntegerType, nullable = false))
+      case None => schema
+    }
+    val extra = shardColName.size
     blocks.flatMap { block =>
       val byName = block.cols.map(c => c.name -> c).toMap
       val vecs = names.map(n => decodeColumn(byName(n)))
       val out = new Array[Row](block.nRows)
       var r = 0
       while (r < block.nRows) {
-        val vals = new Array[Any](names.length)
+        val vals = new Array[Any](names.length + extra)
         var c = 0
         while (c < names.length) { vals(c) = vecValue(vecs(c), r, schema.fields(c).dataType); c += 1 }
+        if (extra == 1) vals(names.length) = block.shard
         out(r) = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         r += 1
       }
       out.iterator
-    }(Encoders.row(schema))
+    }(Encoders.row(outSchema))
   }
 
   def decodeColumn(col: EncodedCol): ColVec = ChunkCodec.decode(col.payload)

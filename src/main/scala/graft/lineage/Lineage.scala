@@ -124,6 +124,62 @@ object Lineage {
     RunSummary(pending.size, done.size, rows, nb, cb, wall)
   }
 
+  /** Copy-on-write delete over the encoded store (the Spark-native
+    * analog of the reference's validity-mask delete, python-blosc2
+    * ctable.py:12688, lifted to Iceberg-style shard rewrite): decode
+    * only the shards containing matching rows, filter them out,
+    * re-encode, and atomically replace just those shard partitions
+    * (dynamic partition overwrite). Untouched shards' files are never
+    * read or written.
+    *
+    * @return number of rows deleted
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column,
+      chunkRows: Int = TableCodec.CHUNK_ROWS
+  ): Long = {
+    val all = readBlocks(spark, outDir)
+    // which shards contain matching rows? (decode is shuffle-free; only
+    // the shard column + matched flag leave the executors)
+    val hitShards = TableCodec.decode(all, schema, shardColName = Some(SHARD_COL))
+      .filter(predicate)
+      .select(SHARD_COL).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (hitShards.isEmpty) return 0L
+
+    val affected = readBlocks(spark, outDir, Some(hitShards))
+    val decoded = TableCodec.decode(affected, schema, shardColName = Some(SHARD_COL))
+    val before = decoded.count()
+    val kept = decoded.filter(!predicate)
+      // cluster rows of a shard together so re-encoded blocks are shard-pure
+      .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
+      .sortWithinPartitions(SHARD_COL)
+    val reencoded = TableCodec.encode(kept, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+      // shards that end up EMPTY after the delete are not touched by
+      // dynamic overwrite — drop their partition dirs explicitly
+      val rewritten = reencoded.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+      hitShards.filterNot(rewritten).foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$s")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = TableCodec.decode(readBlocks(spark, outDir, Some(hitShards)), schema).count()
+    before - after
+  }
+
   /** Read encoded blocks back (all shards or a subset — partition-pruned). */
   def readBlocks(spark: SparkSession, outDir: String, shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] = {
     implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]

@@ -159,6 +159,28 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("csv interop: write + read back preserves the documents table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(docs.schema).option("escape", "\"").csv(dir)
+    assert(back.count() == docs.count())
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(sum(crc32(concat_ws("|", col("doc_id"), col("lang"), sha2(col("text"), 256)))))
+        .head().getLong(0)
+    assert(h(back) == h(docs))
+  }
+
+  test("covariance/correlation summary (reference describe/cov analog)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val c = li.select(corr("l_quantity", "l_extendedprice")).head().getDouble(0)
+    assert(c > -1.0 && c < 1.0 && !c.isNaN)
+    val cov = li.select(covar_samp("l_quantity", "l_extendedprice")).head().getDouble(0)
+    assert(!cov.isNaN)
+  }
+
   test("filter+project pushes down to the parquet scan") {
     val plan = Queries.q2Filter(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("LessThan"), plan.take(3000))
