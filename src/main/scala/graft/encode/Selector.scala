@@ -67,6 +67,7 @@ object Selector {
           // size-only cost model: plain+zstd3/lz4 are dominated by
           // plain+zstd5, so they are not offered
           pack ++ Seq(
+            Plan(Method.FSST, Entropy.ZSTD, ZSTD_HIGH),
             Plan(Method.FSST, Entropy.ZSTD, ZSTD_LEVEL),
             Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_HIGH)
           )

@@ -311,6 +311,36 @@ object Queries {
       |  count(*) AS n, round(sum(value), 2) AS v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Scalar math-function suite (reference §2.8 ufuncs: sqrt/floor/ceil/
+    * abs/sign/clip, ndarray.py:1120-3156). Functions chosen to be
+    * IEEE-exact in both engines (no libm ulp drift).
+    */
+  def q18Math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        floor(col("l_quantity") / 7).cast("double").as("fl"),
+        ceil(col("l_discount") * 100).cast("double").as("ce"),
+        abs(col("l_quantity") - 25).as("ab"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        greatest(col("l_tax"), col("l_discount")).as("mx"),
+        least(col("l_quantity"), lit(10.0)).as("mn"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q18Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  sqrt(l_extendedprice) AS sq,
+      |  CAST(floor(l_quantity / 7) AS DOUBLE) AS fl,
+      |  CAST(ceil(l_discount * 100) AS DOUBLE) AS ce,
+      |  abs(l_quantity - 25) AS ab,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+      |  greatest(l_tax, l_discount) AS mx,
+      |  least(l_quantity, 10.0) AS mn
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ================================================== pipeline operators
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -500,6 +530,7 @@ object Queries {
     "q15_rollup" -> (q15Rollup _),
     "q16_json" -> (q16Json _),
     "q17_time_window" -> (q17TimeWindow _),
+    "q18_math" -> (q18Math _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -533,6 +564,7 @@ object Queries {
     "q15_rollup" -> q15Sql,
     "q16_json" -> q16Sql,
     "q17_time_window" -> q17Sql,
+    "q18_math" -> q18Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
