@@ -77,6 +77,18 @@ object Lineage {
     val done = completedShards(spark, outDir)
     val all = (0 until nShards).toSet
     val pending = (all -- done).toSeq.sorted
+    // The manifest is the source of truth: a crash between a batch's data
+    // append and its manifest append leaves committed blocks with no
+    // manifest row. Re-encoding those shards would duplicate rows, so on
+    // resume drop any partition dirs of still-pending shards first.
+    if (done.nonEmpty && pending.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+      pending.foreach { sh =>
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$sh")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
     val batches = pending.grouped(math.max(1, (pending.size + nBatches - 1) / nBatches)).toSeq
 
     val sharded = input.withColumn(
@@ -141,18 +153,25 @@ object Lineage {
       predicate: org.apache.spark.sql.Column,
       chunkRows: Int = TableCodec.CHUNK_ROWS
   ): Long = {
-    val all = readBlocks(spark, outDir)
-    // which shards contain matching rows? (decode is shuffle-free; only
-    // the shard column + matched flag leave the executors)
-    val hitShards = TableCodec.decode(all, schema, shardColName = Some(SHARD_COL))
-      .filter(predicate)
-      .select(SHARD_COL).distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (hitShards.isEmpty) return 0L
+    // Pass 1 (discovery): ONE decode over the store, emitting only
+    // (shard, n_deleted) — tiny agg output. SQL three-valued logic:
+    // a row is deleted iff the predicate is TRUE (not NULL), so both
+    // the count here and the keep-filter below coalesce NULL→false.
+    val matched = coalesce(predicate, lit(false))
+    val hits = TableCodec.decode(readBlocks(spark, outDir), schema, shardColName = Some(SHARD_COL))
+      .groupBy(col(SHARD_COL))
+      .agg(sum(matched.cast("long")).as("n_del"))
+      .filter(col("n_del") > 0)
+      .collect()
+    if (hits.isEmpty) return 0L
+    val hitShards = hits.map(_.getInt(0)).toSeq.sorted
+    val deleted = hits.map(_.getLong(1)).sum
 
+    // Pass 2 (rewrite): decode ONLY the hit shards once; keep rows where
+    // the predicate is not TRUE (NULL-valued predicates keep the row).
     val affected = readBlocks(spark, outDir, Some(hitShards))
-    val decoded = TableCodec.decode(affected, schema, shardColName = Some(SHARD_COL))
-    val before = decoded.count()
-    val kept = decoded.filter(!predicate)
+    val kept = TableCodec.decode(affected, schema, shardColName = Some(SHARD_COL))
+      .filter(not(matched))
       // cluster rows of a shard together so re-encoded blocks are shard-pure
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
@@ -162,8 +181,13 @@ object Lineage {
     try {
       reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
       // shards that end up EMPTY after the delete are not touched by
-      // dynamic overwrite — drop their partition dirs explicitly
-      val rewritten = reencoded.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      // dynamic overwrite — drop their partition dirs explicitly. The
+      // surviving-shard set comes from the just-committed store's
+      // metadata columns (payloads never read), NOT by re-executing the
+      // encode pipeline against the now-replaced file listing.
+      val rewritten = spark.read.parquet(outDir)
+        .filter(col("shard").isin(hitShards.map(Integer.valueOf): _*))
+        .select("shard").distinct().collect().map(_.getInt(0)).toSet
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
       hitShards.filterNot(rewritten).foreach { s =>
@@ -176,8 +200,7 @@ object Lineage {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    val after = TableCodec.decode(readBlocks(spark, outDir, Some(hitShards)), schema).count()
-    before - after
+    deleted
   }
 
   /** Read encoded blocks back (all shards or a subset — partition-pruned). */

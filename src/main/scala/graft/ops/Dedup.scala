@@ -91,25 +91,67 @@ object Dedup {
       .toDF(idCol, "sig")
   }
 
+  /** Self-join banded keys into candidate pairs, with a bucket-size cap.
+    *
+    * The naive band self-join is quadratic in the hottest bucket (1M
+    * identical boilerplate files → one bucket → 10^12 pairs on one
+    * shuffle key). Buckets larger than `bucketCap` are near-certain
+    * dup-cliques, so instead of the m² self-join they get the O(m)
+    * *representative star*: every member is paired with the bucket's
+    * min-id row only. Clique membership is preserved (transitively via
+    * the rep) while the oversized-bucket set itself is tiny by
+    * construction — it is broadcast, so the banded stream is never
+    * re-shuffled for the cap.
+    *
+    * `banded` must have columns (idCol, payload, band, bucket);
+    * `measure` is an expression over columns `pay_a` / `pay_b` (the two
+    * payloads of a pair) computing the pair score.
+    */
+  private def bandedPairs(banded: DataFrame, idCol: String, payload: String,
+                          measure: org.apache.spark.sql.Column,
+                          bucketCap: Int): DataFrame = {
+    val oversized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("rep_id"))
+      .filter(col("bsz") > bucketCap)
+      .select("band", "bucket", "rep_id")
+
+    val small = banded.join(broadcast(oversized.select("band", "bucket")), Seq("band", "bucket"), "left_anti")
+    val l = small.select(col(idCol).as("id_a"), col(payload).as("pay_a"), col("band"), col("bucket"))
+    val r = small.select(col(idCol).as("id_b"), col(payload).as("pay_b"), col("band"), col("bucket"))
+    val smallPairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), measure.as("m"))
+
+    val over = banded.join(broadcast(oversized), Seq("band", "bucket"))
+    val repPayloads = over.filter(col(idCol) === col("rep_id"))
+      .select(col("band"), col("bucket"), col(payload).as("pay_a"))
+      .dropDuplicates("band", "bucket")
+    val starPairs = over.filter(col(idCol) =!= col("rep_id"))
+      .withColumnRenamed(payload, "pay_b")
+      .join(broadcast(repPayloads), Seq("band", "bucket"))
+      .select(col("rep_id").as("id_a"), col(idCol).as("id_b"), measure.as("m"))
+
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** LSH banding: explode signatures into (band, bucketHash) keys,
     * self-join on equal buckets → candidate pairs with their estimated
     * jaccard (fraction of equal signature slots). `bands` rows per doc
-    * go through the shuffle, never the full text.
+    * go through the shuffle, never the full text. Buckets above
+    * `bucketCap` fall back to the O(m) representative star (see
+    * [[bandedPairs]]) so one degenerate bucket can't go quadratic.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 16,
+                        bucketCap: Int = 256): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandsExpr = expr(
       s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '_')))")
     val banded = sigs.select(col(idCol), col("sig"), posexplode(bandsExpr).as(Seq("band", "bucket")))
-    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
+    val estJaccard = expr("aggregate(zip_with(pay_a, pay_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .cast("double") / lit(numHashes.toDouble)
+    bandedPairs(banded, idCol, "sig", estJaccard, bucketCap)
+      .withColumnRenamed("m", "est_jaccard")
   }
 
   /** MinHash+LSH near-dup detection end to end. */
@@ -150,23 +192,30 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
-  /** Near-dup pairs by simhash hamming distance ≤ maxDist, using 4-way
-    * table banding (any pair within distance 3 shares ≥1 of 4 16-bit
-    * bands — pigeonhole), so the join key is a short band, not O(n²).
+  /** Near-dup pairs by simhash hamming distance ≤ maxDist, using
+    * pigeonhole banding: the 64 bits split into `maxDist + 1` disjoint
+    * bands, so any pair within distance maxDist agrees on ≥1 whole band
+    * and collides in its bucket — the join key is a short band, not
+    * O(n²). Band width is derived from maxDist (a fixed 4×16-bit split
+    * would silently miss pairs for maxDist ≥ 4). Oversized buckets use
+    * the representative star (see [[bandedPairs]]).
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3, bucketCap: Int = 256): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15] (band width 64/(maxDist+1) must stay ≥ 4 bits), got $maxDist")
+    val nBands = maxDist + 1
+    val w = 64 / nBands
+    // band b < nBands-1 covers bits [b*w, (b+1)*w); the last band takes
+    // the remainder up to bit 63 (unsigned shift needs no mask).
+    val bandExpr = expr(
+      s"""transform(sequence(0, ${nBands - 1}), b ->
+         |  if(b = ${nBands - 1}, shiftrightunsigned(simhash, ${(nBands - 1) * w}),
+         |     shiftright(simhash, b * $w) & ${(1L << w) - 1}L))""".stripMargin)
     val sh = simhashes(df, idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), b -> (shiftright(simhash, b * 16) & 65535))"))
-        .as(Seq("band", "bucket")))
-    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
+    val banded = sh.select(col(idCol), col("simhash"), posexplode(bandExpr).as(Seq("band", "bucket")))
+    bandedPairs(banded, idCol, "simhash", expr("bit_count(pay_a ^ pay_b)"), bucketCap)
+      .withColumnRenamed("m", "hamming")
       .filter(col("hamming") <= maxDist)
   }
 

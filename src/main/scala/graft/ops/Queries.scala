@@ -248,7 +248,7 @@ object Queries {
   val q13Sql: String =
     """SELECT CASE WHEN l_quantity < 10 THEN 'low'
       |            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
-      |  count(*) AS n, sum(CAST(l_quantity AS INT)) AS qty_sum
+      |  count(*) AS n, CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS qty_sum
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Set ops (reference has only concat/extend = UNION ALL,
@@ -280,7 +280,7 @@ object Queries {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   val q15Sql: String =
-    """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+    """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
@@ -493,8 +493,8 @@ object Queries {
   }
 
   val corpusEncodeStatsSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(length(text)) AS chars,
-      |  sum(n_chars) AS n_chars_sum
+    """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Codec plan mix chosen by the auto-selector over the documents

@@ -37,8 +37,12 @@ object StreamingEncode {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent per batchId: a micro-batch replayed after a failure
+        // or restart OVERWRITES its own partition dir instead of
+        // appending duplicates — exactly-once at the store level, not
+        // just at-least-once. `batch=<id>` is a partition column on read.
         val blocks = TableCodec.encode(batch, chunkRows = chunkRows)
-        blocks.write.mode(SaveMode.Append).parquet(outDir)
+        blocks.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
