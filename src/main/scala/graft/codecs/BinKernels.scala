@@ -105,6 +105,28 @@ object BinKernels {
       }
       BitPack.pack(codes, 0, codes.length, width, w)
 
+    case Method.SHUFFLE =>
+      // byte-plane transpose over the concatenated fixed-width elements
+      // (blosc2 SHUFFLE with typesize = elemWidth): groups sign/exponent
+      // bytes of packed float arrays so the entropy stage sees runs.
+      val width = vec.elemWidth
+      require(width > 0, "BIN SHUFFLE requires a fixed elemWidth")
+      val n = vec.n
+      w.putByte(width)
+      var i = 0
+      while (i < n) { w.putVarInt(at(vec, i).length); i += 1 }
+      var b = 0
+      while (b < width) {
+        i = 0
+        while (i < n) {
+          val v = at(vec, i)
+          var e = b
+          while (e < v.length) { w.putByte(v(e) & 0xff); e += width }
+          i += 1
+        }
+        b += 1
+      }
+
     case m => throw new IllegalArgumentException(s"bin method $m")
   }
 
@@ -164,6 +186,23 @@ object BinKernels {
           while (j < v.length) { v(j) = alphabet(codes(k).toInt); k += 1; j += 1 }
           out(i) = v
           i += 1
+        }
+
+      case Method.SHUFFLE =>
+        val width = r.getByte()
+        val lens = new Array[Int](n)
+        var i = 0
+        while (i < n) { lens(i) = r.getVarInt(); out(i) = new Array[Byte](lens(i)); i += 1 }
+        var b = 0
+        while (b < width) {
+          i = 0
+          while (i < n) {
+            val v = out(i)
+            var e = b
+            while (e < v.length) { v(e) = r.getByte().toByte; e += width }
+            i += 1
+          }
+          b += 1
         }
 
       case m => throw new IllegalArgumentException(s"bin method $m")

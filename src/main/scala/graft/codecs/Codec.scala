@@ -19,8 +19,13 @@ sealed trait ColVec {
 }
 final case class LongVec(values: Array[Long], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
 final case class DoubleVec(values: Array[Double], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
-/** values(i) == null allowed iff validity(i) == false. */
-final case class BinVec(values: Array[Array[Byte]], validity: Array[Boolean] = null) extends ColVec { def n: Int = values.length }
+/** values(i) == null allowed iff validity(i) == false.
+  * `elemWidth` > 0 marks fixed-width element payloads (e.g. packed
+  * float32 arrays, width 4): every value's length is a multiple of it,
+  * which enables the byte-plane SHUFFLE method (blosc2's typesize).
+  */
+final case class BinVec(values: Array[Array[Byte]], validity: Array[Boolean] = null,
+                        elemWidth: Int = 0) extends ColVec { def n: Int = values.length }
 
 object ColType {
   val LONG: Byte = 0

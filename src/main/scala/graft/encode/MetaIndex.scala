@@ -1,9 +1,9 @@
 package graft.encode
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import graft.lineage.Lineage
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
-import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.types._
 
 /** Zone-map query path over the encoded store: prune chunks by their
   * per-column min/max metadata BEFORE touching any payload, then decode
@@ -11,59 +11,173 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * This is the Spark-native analog of the reference's SUMMARY segment
   * indexes (python-blosc2 indexing.py:44-57) and its candidate-chunk
-  * pruning (`_prune_chunks`, lazyexpr.py:1737-1744): the pruning
-  * predicate is an ordinary filter on tiny metadata columns (payloads
-  * of pruned chunks are never decoded), so at 100 TB a selective point
-  * query reads metadata plus only the matching chunks.
+  * pruning (`_prune_chunks`, lazyexpr.py:1737-1744).
+  *
+  * Scale design: the prune pass reads the store parquet under an
+  * EXPLICIT metadata-only schema — the `cols` struct is declared with
+  * just (name, dt, minKey, maxKey), so the parquet reader never maps
+  * the multi-MB `payload` (or `sha`) pages at all; a selective point
+  * query over 100 TB reads O(chunks) tiny metadata rows. Survivor
+  * chunks are then fetched with a pushable key predicate (shard is a
+  * partition dir → directory pruning; partId/chunkId hit row-group
+  * stats), and only those payloads are decoded.
   *
   * Zone-key semantics (must match ColBuilder): string keys compare in
-  * UTF-8 byte order; numeric keys compare numerically via the recorded
-  * column type; an empty minKey/maxKey means unbounded (e.g. values
-  * longer than TableCodec.ZONE_KEY_MAX are never zone-keyed).
+  * UTF-8 byte order (Spark string compare is UTF8String binary order);
+  * numeric/temporal keys compare numerically in their recorded integer
+  * domain (micros for timestamps, days for dates, unscaled for long
+  * decimals); an empty minKey/maxKey means unbounded.
   */
 object MetaIndex {
 
-  private def strCmp(a: String, b: String): Int =
-    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+  /** How many surviving chunk keys we are willing to push down as an
+    * OR-of-ANDs scan predicate. Above this the query is not selective,
+    * and the honest plan is a full scan + semi-join.
+    */
+  val MAX_PUSHDOWN_KEYS = 1024
 
-  /** zone [minKey,maxKey] of `c` intersects the query range [lo,hi]? */
-  private def intersects(c: EncodedCol, lo: String, hi: String): Boolean = {
-    val numeric = c.dt == "bigint" || c.dt == "int" || c.dt == "double"
-    if (c.minKey.isEmpty && c.maxKey.isEmpty) return true
-    if (numeric) {
-      val minV = if (c.minKey.isEmpty) Double.NegativeInfinity else c.minKey.toDouble
-      val maxV = if (c.maxKey.isEmpty) Double.PositiveInfinity else c.maxKey.toDouble
-      !(maxV < lo.toDouble || minV > hi.toDouble)
-    } else {
-      val aboveLo = c.maxKey.isEmpty || strCmp(c.maxKey, lo) >= 0
-      val belowHi = c.minKey.isEmpty || strCmp(c.minKey, hi) <= 0
-      aboveLo && belowHi
-    }
+  /** Schema for the metadata-only pass: note NO payload, NO sha. */
+  private val metaReadSchema = StructType(Seq(
+    StructField("shard", IntegerType),
+    StructField("partId", IntegerType),
+    StructField("chunkId", LongType),
+    StructField("nRows", IntegerType),
+    StructField("cols", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("dt", StringType),
+      StructField("minKey", StringType),
+      StructField("maxKey", StringType)))))))
+
+  /** One row per (chunk, column) with zone bounds — payloads are never
+    * in the scan's ReadSchema (asserted in MetaIndexSpec).
+    */
+  def zoneMeta(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(metaReadSchema).parquet(storeDir)
+      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        explode(col("cols")).as("c"))
+      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        col("c.name").as("name"), col("c.dt").as("dt"),
+        col("c.minKey").as("minKey"), col("c.maxKey").as("maxKey"))
+
+  /** Column types whose zone keys compare numerically. */
+  private val numericDts = Seq(
+    "bigint", "int", "smallint", "tinyint", "boolean",
+    "double", "float", "date", "timestamp", "timestamp_ntz")
+
+  /** zone [minKey,maxKey] intersects [lo,hi]? (Catalyst expression over
+    * the zoneMeta columns; dt-aware compare.)
+    */
+  def intersectsExpr(lo: String, hi: String): Column = {
+    val unbounded = col("minKey") === "" && col("maxKey") === ""
+    val isNum = col("dt").isin(numericDts: _*) || col("dt").startsWith("decimal")
+    val minD = when(col("minKey") === "", lit(Double.NegativeInfinity)).otherwise(col("minKey").cast("double"))
+    val maxD = when(col("maxKey") === "", lit(Double.PositiveInfinity)).otherwise(col("maxKey").cast("double"))
+    val numHit = !(maxD < lit(lo).cast("double") || minD > lit(hi).cast("double"))
+    val strHit = (col("maxKey") === "" || col("maxKey") >= lit(lo)) &&
+      (col("minKey") === "" || col("minKey") <= lit(hi))
+    unbounded || when(isNum, numHit).otherwise(strHit)
   }
 
-  /** Chunks whose zone intersects [lo, hi] on `colName`. */
+  /** Chunk keys whose zone on `colName` intersects [lo, hi] — a
+    * metadata-only query.
+    */
+  def candidateKeys(spark: SparkSession, storeDir: String, colName: String,
+                    lo: String, hi: String): DataFrame =
+    zoneMeta(spark, storeDir)
+      .filter(col("name") === colName && intersectsExpr(lo, hi))
+      .select("shard", "partId", "chunkId")
+
+  /** Read only the surviving blocks. Few survivors → OR-of-ANDs pushed
+    * into the parquet scan (shard prunes partition dirs, partId/chunkId
+    * prune row groups, so pruned payload pages are never read);
+    * many survivors → left-semi join (the query reads most of the store
+    * anyway).
+    */
+  def readCandidates(spark: SparkSession, storeDir: String, colName: String,
+                     lo: String, hi: String): Dataset[EncodedBlock] = {
+    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
+    val keys = candidateKeys(spark, storeDir, colName, lo, hi)
+    val collected = keys.limit(MAX_PUSHDOWN_KEYS + 1).collect()
+    val full = spark.read.parquet(storeDir)
+    val filtered =
+      if (collected.length <= MAX_PUSHDOWN_KEYS) {
+        if (collected.isEmpty) full.filter(lit(false))
+        else {
+          val pred = collected.map { r =>
+            col("shard") === r.getInt(0) && col("partId") === r.getInt(1) && col("chunkId") === r.getLong(2)
+          }.reduce(_ || _)
+          full.filter(pred)
+        }
+      } else full.join(keys, Seq("shard", "partId", "chunkId"), "left_semi")
+    filtered.select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+  }
+
+  /** Point/range lookup over the encoded store: metadata prune → fetch
+    * survivors (pushed keys) → decode → exact filter. `lo`/`hi` are in
+    * the zone-key domain of the column (values for long/string columns,
+    * micros for timestamps, days for dates).
+    */
+  def lookup(spark: SparkSession, storeDir: String, schema: StructType,
+             colName: String, lo: String, hi: String): DataFrame = {
+    val dt = schema(colName).dataType
+    val exact = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt)
+      case StringType =>
+        col(colName) >= lit(lo) && col(colName) <= lit(hi)
+      case TimestampType => // lo/hi are micros
+        col(colName) >= timestamp_micros(lit(lo.toLong)) && col(colName) <= timestamp_micros(lit(hi.toLong))
+      case DateType => // lo/hi are epoch days
+        col(colName) >= date_from_unix_date(lit(lo.toInt)) && col(colName) <= date_from_unix_date(lit(hi.toInt))
+      case t => throw new IllegalArgumentException(s"lookup on $t")
+    }
+    TableCodec.decode(readCandidates(spark, storeDir, colName, lo, hi), schema).filter(exact)
+  }
+
+  /** Pruning stats for a predicate: (candidate chunks, total chunks) —
+    * computed entirely from metadata.
+    */
+  def pruningStats(spark: SparkSession, storeDir: String, colName: String,
+                   lo: String, hi: String): (Long, Long) = {
+    val meta = zoneMeta(spark, storeDir).filter(col("name") === colName).cache()
+    try {
+      val total = meta.count()
+      val cand = meta.filter(intersectsExpr(lo, hi)).count()
+      (cand, total)
+    } finally meta.unpersist()
+  }
+
+  /** In-memory variant retained for Dataset-level pipelines (tests,
+    * ad-hoc): prunes on the already-deserialized metadata. For stores
+    * on disk prefer the storeDir API above, which never reads payloads.
+    */
   def candidateBlocks(blocks: Dataset[EncodedBlock], colName: String,
                       lo: String, hi: String): Dataset[EncodedBlock] = {
     implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
     blocks.filter { b =>
-      b.cols.find(_.name == colName).forall(c => intersects(c, lo, hi))
+      b.cols.find(_.name == colName).forall { c =>
+        val numeric = numericDts.contains(c.dt) || c.dt.startsWith("decimal")
+        if (c.minKey.isEmpty && c.maxKey.isEmpty) true
+        else if (numeric) {
+          val minV = if (c.minKey.isEmpty) Double.NegativeInfinity else c.minKey.toDouble
+          val maxV = if (c.maxKey.isEmpty) Double.PositiveInfinity else c.maxKey.toDouble
+          !(maxV < lo.toDouble || minV > hi.toDouble)
+        } else {
+          import java.nio.charset.StandardCharsets.UTF_8
+          def cmp(a: String, b: String) = java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+          (c.maxKey.isEmpty || cmp(c.maxKey, lo) >= 0) && (c.minKey.isEmpty || cmp(c.minKey, hi) <= 0)
+        }
+      }
     }
   }
 
-  /** Point/range lookup: metadata prune → decode survivors → exact filter. */
-  def lookup(blocks: Dataset[EncodedBlock], schema: StructType,
-             colName: String, lo: String, hi: String): DataFrame = {
-    val pruned = candidateBlocks(blocks, colName, lo, hi)
-    val dt = schema(colName).dataType
-    TableCodec.decode(pruned, schema)
-      .filter(col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt))
-  }
-
-  /** Pruning stats for a predicate: (candidate chunks, total chunks). */
-  def pruningStats(blocks: Dataset[EncodedBlock], colName: String,
-                   lo: String, hi: String): (Long, Long) = {
-    val total = blocks.count()
-    val cand = candidateBlocks(blocks, colName, lo, hi).count()
-    (cand, total)
+  /** Convenience: build a store for `df` at `storeDir` (idempotent via
+    * the lineage manifest) keyed by `idCols`.
+    */
+  def buildStore(spark: SparkSession, df: DataFrame, storeDir: String,
+                 idCols: Seq[String], nShards: Int = 8, chunkRows: Int = 4096): Unit = {
+    Lineage.encodeResumable(spark, df, storeDir, idCols,
+      nShards = nShards, nBatches = 1, chunkRows = chunkRows)
+    ()
   }
 }

@@ -49,6 +49,14 @@ object Selector {
       )
     case v: BinVec =>
       if (isConstB(v)) Seq(Plan(Method.CONST, Entropy.NONE))
+      else if (v.elemWidth > 0)
+        // fixed-width element payloads (packed numeric arrays): byte-plane
+        // transpose (blosc2 SHUFFLE with typesize=elemWidth) + entropy
+        Seq(
+          Plan(Method.SHUFFLE, Entropy.ZSTD, ZSTD_LEVEL),
+          Plan(Method.SHUFFLE, Entropy.LZ4),
+          Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL)
+        )
       else {
         val card = sampleCardinality(v)
         if (card.lowCardinality)
@@ -171,7 +179,7 @@ object Selector {
         }
         g += 1
       }
-      BinVec(out.toArray, if (v.validity == null) null else vl.toArray)
+      BinVec(out.toArray, if (v.validity == null) null else vl.toArray, v.elemWidth)
     case other => sampleVec(other)
   }
 
@@ -211,7 +219,7 @@ object Selector {
         val vl = pickValidity(v.validity, n, target, step)
         var i = 0
         while (i < target) { out(i) = v.values((i * step).toInt); i += 1 }
-        BinVec(out, vl)
+        BinVec(out, vl, v.elemWidth)
     }
   }
 

@@ -2,9 +2,12 @@ package graft.encode
 
 import graft.codecs._
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.graftshim.InternalRowShim
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
@@ -143,47 +146,75 @@ object TableCodec {
   // ---------------------------------------------------------------- decode
 
   /** Inverse of encode: rebuild the original rows (column order = the
-    * order recorded in the blocks). Shuffle-free flatMap. When
+    * order recorded in the blocks). Shuffle-free flatMap emitting
+    * Catalyst InternalRows directly — string bytes become UTF8String
+    * without a charset round-trip, timestamps stay micros longs,
+    * packed arrays become UnsafeArrayData — no external-Row boxing and
+    * no RowEncoder re-serialization on the hot path. When
     * `shardColName` is set, the block's lineage shard id is surfaced as
     * an extra int column (used by copy-on-write delete).
     */
   def decode(blocks: Dataset[EncodedBlock], schema: StructType,
              shardColName: Option[String] = None): DataFrame = {
+    val spark = blocks.sparkSession
     val names = schema.fieldNames
+    val dts = schema.fields.map(_.dataType)
     val outSchema = shardColName match {
       case Some(s) => StructType(schema.fields :+ StructField(s, IntegerType, nullable = false))
       case None => schema
     }
     val extra = shardColName.size
-    blocks.flatMap { block =>
-      val byName = block.cols.map(c => c.name -> c).toMap
-      val vecs = names.map(n => decodeColumn(byName(n)))
-      val out = new Array[Row](block.nRows)
-      var r = 0
-      while (r < block.nRows) {
-        val vals = new Array[Any](names.length + extra)
+    val rdd = blocks.rdd.mapPartitions { it =>
+      it.flatMap { block =>
+        val byName = block.cols.map(c => c.name -> c).toMap
+        val vecs = names.map(n => decodeColumn(byName(n)))
+        val getters = new Array[Int => Any](names.length)
         var c = 0
-        while (c < names.length) { vals(c) = vecValue(vecs(c), r, schema.fields(c).dataType); c += 1 }
-        if (extra == 1) vals(names.length) = block.shard
-        out(r) = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
-        r += 1
+        while (c < names.length) { getters(c) = internalGetter(vecs(c), dts(c)); c += 1 }
+        Iterator.tabulate(block.nRows) { r =>
+          val vals = new Array[Any](names.length + extra)
+          var i = 0
+          while (i < names.length) {
+            vals(i) = if (vecs(i).isValid(r)) getters(i)(r) else null
+            i += 1
+          }
+          if (extra == 1) vals(names.length) = block.shard
+          new GenericInternalRow(vals): InternalRow
+        }
       }
-      out.iterator
-    }(Encoders.row(outSchema))
+    }
+    InternalRowShim.createDataFrame(spark, rdd, outSchema)
   }
 
   def decodeColumn(col: EncodedCol): ColVec = ChunkCodec.decode(col.payload)
 
-  private def vecValue(vec: ColVec, i: Int, dt: DataType): Any = {
-    if (!vec.isValid(i)) return null
-    (vec, dt) match {
-      case (v: LongVec, LongType) => v.values(i)
-      case (v: LongVec, IntegerType) => v.values(i).toInt
-      case (v: DoubleVec, DoubleType) => v.values(i)
-      case (v: BinVec, StringType) => new String(v.values(i), UTF_8)
-      case (v: BinVec, BinaryType) => v.values(i)
-      case (v, t) => throw new IllegalArgumentException(s"decode ${v.getClass.getSimpleName} as $t")
-    }
+  /** Column getter producing the Catalyst-internal value for `dt`.
+    * Bound once per (vec, column) so the per-row path is one virtual
+    * call, not a type dispatch.
+    */
+  private def internalGetter(vec: ColVec, dt: DataType): Int => Any = (vec, dt) match {
+    case (v: LongVec, LongType | TimestampType | TimestampNTZType) => i => v.values(i)
+    case (v: LongVec, IntegerType | DateType) => i => v.values(i).toInt
+    case (v: LongVec, ShortType) => i => v.values(i).toShort
+    case (v: LongVec, ByteType) => i => v.values(i).toByte
+    case (v: LongVec, BooleanType) => i => v.values(i) != 0L
+    case (v: LongVec, d: DecimalType) => i => Decimal.createUnsafe(v.values(i), d.precision, d.scale)
+    case (v: DoubleVec, DoubleType) => i => v.values(i)
+    case (v: DoubleVec, FloatType) => i => v.values(i).toFloat
+    case (v: BinVec, StringType) => i => UTF8String.fromBytes(v.values(i))
+    case (v: BinVec, BinaryType) => i => v.values(i)
+    case (v: BinVec, d: DecimalType) =>
+      i => Decimal(new java.math.BigDecimal(new java.math.BigInteger(v.values(i)), d.scale))
+    case (v: BinVec, ArrayType(et, _)) =>
+      val w = ArrayPack.widthOf(et)
+      et match {
+        case FloatType => i => UnsafeArrayData.fromPrimitiveArray(ArrayPack.unpackFloats(v.values(i)))
+        case DoubleType => i => UnsafeArrayData.fromPrimitiveArray(ArrayPack.unpackDoubles(v.values(i)))
+        case IntegerType => i => UnsafeArrayData.fromPrimitiveArray(ArrayPack.unpackInts(v.values(i)))
+        case LongType => i => UnsafeArrayData.fromPrimitiveArray(ArrayPack.unpackLongs(v.values(i)))
+        case t => throw new IllegalArgumentException(s"array element type $t (width $w)")
+      }
+    case (v, t) => throw new IllegalArgumentException(s"decode ${v.getClass.getSimpleName} as $t")
   }
 
   // ---------------------------------------------------------------- verify
@@ -220,11 +251,36 @@ sealed trait ColBuilder {
 
 object ColBuilder {
 
+  /** Internal long-backed kinds: how to pull the value out of the
+    * InternalRow and how many logical bytes it is. Mirrors the
+    * reference's width coverage (python-blosc2 schema.py:122-272:
+    * int8..64, bool, timestamp(unit), date, fixed decimals).
+    */
+  private object LKind {
+    val LONG = 0; val INT = 1; val SHORT = 2; val BYTE = 3
+    val BOOL = 4; val DATE = 5; val TS = 6; val DEC = 7
+  }
+  private object BKind {
+    val STRING = 0; val BINARY = 1; val DECIMAL = 2; val ARRAY = 3
+  }
+
   def apply(dt: DataType): ColBuilder = dt match {
-    case LongType => new LongBuilder(isInt = false)
-    case IntegerType => new LongBuilder(isInt = true)
-    case DoubleType => new DoubleBuilder
-    case StringType | BinaryType => new BinBuilder(string = dt == StringType)
+    case LongType => new LongBuilder(LKind.LONG, 8)
+    case IntegerType => new LongBuilder(LKind.INT, 4)
+    case ShortType => new LongBuilder(LKind.SHORT, 2)
+    case ByteType => new LongBuilder(LKind.BYTE, 1)
+    case BooleanType => new LongBuilder(LKind.BOOL, 1) // 0/1 → FOR bit-pack = bitmap
+    case DateType => new LongBuilder(LKind.DATE, 4) // days since epoch
+    case TimestampType | TimestampNTZType => new LongBuilder(LKind.TS, 8) // micros → DELTA_PACK
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      new LongBuilder(LKind.DEC, 8, d.precision, d.scale) // unscaled long
+    case DoubleType => new DoubleBuilder(isFloat = false)
+    case FloatType => new DoubleBuilder(isFloat = true)
+    case StringType => new BinBuilder(BKind.STRING)
+    case BinaryType => new BinBuilder(BKind.BINARY)
+    case d: DecimalType => new BinBuilder(BKind.DECIMAL, precision = d.precision, scale = d.scale)
+    case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType), _) =>
+      new BinBuilder(BKind.ARRAY, elemType = et) // packed fixed-width → byte-plane SHUFFLE
     case t => throw new IllegalArgumentException(s"unsupported column type $t")
   }
 
@@ -268,7 +324,7 @@ object ColBuilder {
     while (i < 8) { buf(i) = (v >>> (8 * i)).toByte; i += 1 }
   }
 
-  private final class LongBuilder(isInt: Boolean) extends ColBuilder {
+  private final class LongBuilder(kind: Int, width: Int, precision: Int = 0, scale: Int = 0) extends ColBuilder {
     private var values = new Array[Long](1024)
     private var n = 0
     private var validity: Array[Boolean] = null
@@ -289,25 +345,38 @@ object ColBuilder {
         validity(n) = false
         values(n) = 0L
       } else {
-        val v = if (isInt) row.getInt(idx).toLong else row.getLong(idx)
+        val v = kind match {
+          case LKind.LONG | LKind.TS => row.getLong(idx)
+          case LKind.INT | LKind.DATE => row.getInt(idx).toLong
+          case LKind.SHORT => row.getShort(idx).toLong
+          case LKind.BYTE => row.getByte(idx).toLong
+          case LKind.BOOL => if (row.getBoolean(idx)) 1L else 0L
+          case LKind.DEC => row.getDecimal(idx, precision, scale).toUnscaledLong
+          case k => throw new IllegalStateException(s"LKind $k")
+        }
         if (validity != null) validity(n) = true
         if (v < mn) mn = v
         if (v > mx) mx = v
         values(n) = v
       }
       n += 1
-      8L
+      width.toLong
     }
     def result(): ColVec =
       LongVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
     def clear(): Unit = { n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue }
-    def rawBytes: Long = n * 8L
+    def rawBytes: Long = n.toLong * width
     def minKey: String = if (mn == Long.MaxValue) "" else mn.toString
     def maxKey: String = if (mx == Long.MinValue) "" else mx.toString
   }
 
-  private final class DoubleBuilder extends ColBuilder {
+  /** float32 widens losslessly to float64 (IEEE 754 widening is exact,
+    * incl. NaN quiet-bit payloads under JVM semantics); the SHUFFLE
+    * byte planes of the widened doubles carry the zero mantissa bytes,
+    * which the entropy stage collapses. Logical width stays 4.
+    */
+  private final class DoubleBuilder(isFloat: Boolean) extends ColBuilder {
     private var values = new Array[Double](1024)
     private var n = 0
     private var validity: Array[Boolean] = null
@@ -328,32 +397,37 @@ object ColBuilder {
         validity(n) = false
         values(n) = 0.0
       } else {
-        val v = row.getDouble(idx)
+        val v = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
         if (validity != null) validity(n) = true
         if (v < mn) mn = v
         if (v > mx) mx = v
         values(n) = v
       }
       n += 1
-      8L
+      if (isFloat) 4L else 8L
     }
     def result(): ColVec =
       DoubleVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
     def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity }
-    def rawBytes: Long = n * 8L
+    def rawBytes: Long = n.toLong * (if (isFloat) 4L else 8L)
     def minKey: String = if (mn.isPosInfinity) "" else mn.toString
     def maxKey: String = if (mx.isNegInfinity) "" else mx.toString
   }
 
-  private final class BinBuilder(string: Boolean) extends ColBuilder {
+  private final class BinBuilder(kind: Int, elemType: DataType = null,
+                                 precision: Int = 0, scale: Int = 0) extends ColBuilder {
     private var values = new Array[Array[Byte]](1024)
     private var n = 0
     private var hasNull = false
     private var bytes = 0L
     private var mn: Array[Byte] = null
     private var mx: Array[Byte] = null
-    private var zoneDead = false // some value exceeded ZONE_KEY_MAX
+    // zone keys are UTF-8 text: only STRING columns get them (a mangled
+    // re-decode of arbitrary binary/packed bytes would not be
+    // order-preserving, so pruning on it would be unsound)
+    private val zoneCapable = kind == BKind.STRING
+    private var zoneDead = !zoneCapable // or some value exceeded ZONE_KEY_MAX
 
     @inline private def ensure(): Unit = {
       if (n == values.length) values = java.util.Arrays.copyOf(values, n * 2)
@@ -372,7 +446,14 @@ object ColBuilder {
         n += 1
         1L
       } else {
-        val v = if (string) row.getUTF8String(idx).getBytes else row.getBinary(idx)
+        val v = kind match {
+          case BKind.STRING => row.getUTF8String(idx).getBytes
+          case BKind.BINARY => row.getBinary(idx)
+          case BKind.DECIMAL =>
+            row.getDecimal(idx, precision, scale).toJavaBigDecimal.unscaledValue.toByteArray
+          case BKind.ARRAY => ArrayPack.pack(row.getArray(idx), elemType)
+          case k => throw new IllegalStateException(s"BKind $k")
+        }
         values(n) = v
         n += 1
         bytes += v.length
@@ -392,11 +473,62 @@ object ColBuilder {
         while (i < n) { a(i) = vals(i) != null; i += 1 }
         a
       }
-      BinVec(vals, validity)
+      BinVec(vals, validity, if (kind == BKind.ARRAY) ArrayPack.widthOf(elemType) else 0)
     }
-    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = false }
+    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = !zoneCapable }
     def rawBytes: Long = bytes
     def minKey: String = if (zoneDead || mn == null) "" else new String(mn, UTF_8)
     def maxKey: String = if (zoneDead || mx == null) "" else new String(mx, UTF_8)
+  }
+}
+
+/** Fixed-width little-endian packing for array<numeric> columns: the
+  * whole array value becomes one binary payload (element count is
+  * implicit in the byte length), so the existing binary codec chain —
+  * including the byte-plane SHUFFLE with typesize = element width —
+  * applies unchanged. Mirrors the reference's fixed-size list columns
+  * (python-blosc2 schema.py:413 List/FixedBytes).
+  */
+object ArrayPack {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  def widthOf(et: DataType): Int = et match {
+    case FloatType | IntegerType => 4
+    case DoubleType | LongType => 8
+    case t => throw new IllegalArgumentException(s"unsupported array element type $t")
+  }
+
+  def pack(ad: ArrayData, et: DataType): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ad.numElements() * widthOf(et)).order(ByteOrder.LITTLE_ENDIAN)
+    et match {
+      case FloatType => bb.asFloatBuffer().put(ad.toFloatArray())
+      case DoubleType => bb.asDoubleBuffer().put(ad.toDoubleArray())
+      case IntegerType => bb.asIntBuffer().put(ad.toIntArray())
+      case LongType => bb.asLongBuffer().put(ad.toLongArray())
+      case t => throw new IllegalArgumentException(s"$t")
+    }
+    bb.array()
+  }
+
+  def unpackFloats(b: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](b.length / 4)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(out)
+    out
+  }
+  def unpackDoubles(b: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](b.length / 8)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)
+    out
+  }
+  def unpackInts(b: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](b.length / 4)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asIntBuffer().get(out)
+    out
+  }
+  def unpackLongs(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](b.length / 8)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
   }
 }

@@ -497,6 +497,109 @@ object Queries {
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private def roundtrip(df: DataFrame): DataFrame =
+    TableCodec.decode(TableCodec.encode(df, chunkRows = 4096), df.schema)
+
+  /** Timestamp-bearing roundtrip: encode+decode the whole orders table
+    * (micros-long TS path, DELTA_PACK candidates) and hand every value
+    * back for the row-exact oracle compare.
+    */
+  def roundtripOrders(s: SparkSession, dir: String): DataFrame =
+    roundtrip(t(s, dir, "orders"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val roundtripOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Mixed-type roundtrip over events (timestamp + double + json
+    * strings + longs).
+    */
+  def roundtripEvents(s: SparkSession, dir: String): DataFrame =
+    roundtrip(t(s, dir, "events"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+
+  val roundtripEventsSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** array<float> roundtrip over embeddings: packed fixed-width binary
+    * + byte-plane SHUFFLE codec; compared element-exact (float widens
+    * losslessly to double on both sides).
+    */
+  def roundtripEmbeddings(s: SparkSession, dir: String): DataFrame =
+    roundtrip(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
+        col("ev").cast("double").as("v"))
+      .orderBy("vec_id", "idx")
+
+  val roundtripEmbeddingsSql: String =
+    """SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+      |  CAST(unnest(embedding) AS DOUBLE) AS v
+      |FROM embeddings ORDER BY vec_id, idx""".stripMargin
+
+  /** Full-width type-system roundtrip: date, int, short, boolean,
+    * float, long-backed decimal, wide (byte-backed) decimal, and a
+    * nullable int — synthesized by casts from lineitem, pushed through
+    * encode+decode, and value-compared against DuckDB doing the same
+    * casts on the raw table.
+    */
+  def roundtripTyped(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("d"),
+        col("l_quantity").cast("int").as("qi"),
+        nullif(col("l_quantity"), lit(4.0)).cast("int").as("qn"),
+        col("l_quantity").cast("decimal(12,2)").as("qd"),
+        (col("l_discount") > 0.05).as("b"),
+        col("l_extendedprice").cast("float").as("f"),
+        col("l_linenumber").cast("smallint").as("sm"),
+        col("l_suppkey").cast("decimal(22,2)").as("bigdec"))
+    roundtrip(src)
+      .withColumn("f", col("f").cast("double"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val roundtripTypedSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_shipdate AS DATE) AS d,
+      |  CAST(l_quantity AS INT) AS qi,
+      |  CAST(nullif(l_quantity, 4.0) AS INT) AS qn,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS qd,
+      |  (l_discount > 0.05) AS b,
+      |  CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS f,
+      |  CAST(l_linenumber AS SMALLINT) AS sm,
+      |  CAST(l_suppkey AS DECIMAL(22,2)) AS bigdec
+      |FROM lineitem WHERE l_orderkey < 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Point/range lookup over a PERSISTED encoded store via the
+    * metadata-only zone-map prune (MetaIndex): encode documents into a
+    * parquet block store (input order preserved → tight doc_id zones),
+    * then serve a range query that decodes only intersecting chunks.
+    * Oracle: the same range filter on the raw table.
+    */
+  def storePointLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.encode.MetaIndex
+    val docs = t(s, dir, "documents")
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft-zstore-${Integer.toHexString(dir.hashCode)}"
+    TableCodec.encode(docs, chunkRows = 512).write.mode("overwrite").parquet(store)
+    MetaIndex.lookup(s, store, docs.schema, "doc_id", "100", "149")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val storePointLookupSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 100 AND 149 ORDER BY doc_id""".stripMargin
+
   /** Codec plan mix chosen by the auto-selector over the documents
     * table (rows-only: plans are engine-internal).
     */
@@ -543,7 +646,12 @@ object Queries {
     "text_fingerprint" -> (textFingerprint _),
     "corpus_roundtrip_sha" -> (corpusRoundtripSha _),
     "corpus_encode_stats" -> (corpusEncodeStats _),
-    "corpus_codec_plans" -> (corpusCodecPlans _)
+    "corpus_codec_plans" -> (corpusCodecPlans _),
+    "roundtrip_orders" -> (roundtripOrders _),
+    "roundtrip_events" -> (roundtripEvents _),
+    "roundtrip_embeddings" -> (roundtripEmbeddings _),
+    "roundtrip_typed" -> (roundtripTyped _),
+    "store_point_lookup" -> (storePointLookup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -571,6 +679,11 @@ object Queries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_roundtrip_sha" -> corpusRoundtripShaSql,
-    "corpus_encode_stats" -> corpusEncodeStatsSql
+    "corpus_encode_stats" -> corpusEncodeStatsSql,
+    "roundtrip_orders" -> roundtripOrdersSql,
+    "roundtrip_events" -> roundtripEventsSql,
+    "roundtrip_embeddings" -> roundtripEmbeddingsSql,
+    "roundtrip_typed" -> roundtripTypedSql,
+    "store_point_lookup" -> storePointLookupSql
   )
 }

@@ -20,15 +20,20 @@ class MetaIndexSpec extends SparkTestBase {
       .sortWithinPartitions("repo")
   }
   private lazy val blocks = TableCodec.encode(df, chunkRows = 100).cache()
+  private lazy val storeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+    blocks.write.mode("overwrite").parquet(dir)
+    dir
+  }
 
   test("zone-map pruning skips most chunks for a selective predicate") {
     val target = df.select("repo").orderBy("repo").head().getString(0)
-    val (cand, total) = MetaIndex.pruningStats(blocks, "repo", target, target)
+    val (cand, total) = MetaIndex.pruningStats(spark, storeDir, "repo", target, target)
     assert(total >= 20, s"want many chunks, got $total")
     assert(cand < total / 2, s"pruning too weak: $cand of $total chunks")
 
     // result equals full-scan filter
-    val viaIndex = MetaIndex.lookup(blocks, df.schema, "repo", target, target)
+    val viaIndex = MetaIndex.lookup(spark, storeDir, df.schema, "repo", target, target)
     val viaScan = df.filter(col("repo") === target)
     assert(viaIndex.count() == viaScan.count())
     val h = (d: org.apache.spark.sql.DataFrame) =>
@@ -36,10 +41,38 @@ class MetaIndexSpec extends SparkTestBase {
     assert(h(viaIndex) == h(viaScan))
   }
 
-  test("zone-map range lookup on numeric-as-string column is exact") {
-    val viaIndex = MetaIndex.lookup(blocks, df.schema, "lang", "c", "c")
+  test("prune pass is metadata-only: payload/sha never in the scan schema") {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val meta = MetaIndex.zoneMeta(spark, storeDir)
+    val scan = meta.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in prune plan"))
+    // the exact struct fields the parquet reader maps: zone metadata only
+    val colsFields = scan.requiredSchema("cols").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].fieldNames.toSet
+    assert(colsFields == Set("name", "dt", "minKey", "maxKey"),
+      s"prune pass must not read payload/sha, got $colsFields")
+    // and the candidate fetch pushes the surviving chunk keys into the scan
+    val target = df.select("repo").orderBy("repo").head().getString(0)
+    val cand = MetaIndex.readCandidates(spark, storeDir, "repo", target, target)
+    val fetchPlan = cand.queryExecution.executedPlan.toString
+    assert(fetchPlan.contains("PushedFilters: [") && fetchPlan.contains("chunkId"),
+      s"candidate fetch must push chunk keys:\n$fetchPlan")
+  }
+
+  test("zone-map range lookup on numeric and string columns is exact") {
+    val viaIndex = MetaIndex.lookup(spark, storeDir, df.schema, "lang", "c", "c")
     val expected = df.filter(col("lang") === "c").count()
     assert(viaIndex.count() == expected)
+    // numeric range on the row_id column (long zone keys)
+    val viaNum = MetaIndex.lookup(spark, storeDir, df.schema, "row_id", "100", "199")
+    val expNum = df.filter(col("row_id").between(100, 199)).count()
+    assert(viaNum.count() == expNum)
+    // in-memory Dataset variant still prunes identically
+    val target = df.select("repo").orderBy("repo").head().getString(0)
+    val memCand = MetaIndex.candidateBlocks(blocks, "repo", target, target).count()
+    val (storeCand, _) = MetaIndex.pruningStats(spark, storeDir, "repo", target, target)
+    assert(memCand == storeCand)
   }
 
   test("graft_block_rows / graft_block_raw_len read headers without decoding") {
