@@ -98,17 +98,28 @@ object MetaIndex {
     implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
     val keys = candidateKeys(spark, storeDir, colName, lo, hi)
     val collected = keys.limit(MAX_PUSHDOWN_KEYS + 1).collect()
+    if (collected.length <= MAX_PUSHDOWN_KEYS)
+      readBlocksByKeys(spark, storeDir,
+        collected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+    else
+      spark.read.parquet(storeDir)
+        .join(keys, Seq("shard", "partId", "chunkId"), "left_semi")
+        .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+  }
+
+  /** Read exactly these chunks, with the key predicate pushed into the
+    * parquet scan (shard → partition-dir pruning when the store is
+    * partitioned; partId/chunkId → row-group stats).
+    */
+  def readBlocksByKeys(spark: SparkSession, storeDir: String,
+                       keys: Seq[(Int, Int, Long)]): Dataset[EncodedBlock] = {
+    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
     val full = spark.read.parquet(storeDir)
     val filtered =
-      if (collected.length <= MAX_PUSHDOWN_KEYS) {
-        if (collected.isEmpty) full.filter(lit(false))
-        else {
-          val pred = collected.map { r =>
-            col("shard") === r.getInt(0) && col("partId") === r.getInt(1) && col("chunkId") === r.getLong(2)
-          }.reduce(_ || _)
-          full.filter(pred)
-        }
-      } else full.join(keys, Seq("shard", "partId", "chunkId"), "left_semi")
+      if (keys.isEmpty) full.filter(lit(false))
+      else full.filter(keys.map { case (s, p, c) =>
+        col("shard") === s && col("partId") === p && col("chunkId") === c
+      }.reduce(_ || _))
     filtered.select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
   }
 
@@ -121,7 +132,7 @@ object MetaIndex {
              colName: String, lo: String, hi: String): DataFrame = {
     val dt = schema(colName).dataType
     val exact = dt match {
-      case LongType | IntegerType | ShortType | ByteType =>
+      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType =>
         col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt)
       case StringType =>
         col(colName) >= lit(lo) && col(colName) <= lit(hi)

@@ -165,25 +165,36 @@ object TableCodec {
     }
     val extra = shardColName.size
     val rdd = blocks.rdd.mapPartitions { it =>
-      it.flatMap { block =>
-        val byName = block.cols.map(c => c.name -> c).toMap
-        val vecs = names.map(n => decodeColumn(byName(n)))
-        val getters = new Array[Int => Any](names.length)
-        var c = 0
-        while (c < names.length) { getters(c) = internalGetter(vecs(c), dts(c)); c += 1 }
-        Iterator.tabulate(block.nRows) { r =>
-          val vals = new Array[Any](names.length + extra)
-          var i = 0
-          while (i < names.length) {
-            vals(i) = if (vecs(i).isValid(r)) getters(i)(r) else null
-            i += 1
-          }
-          if (extra == 1) vals(names.length) = block.shard
-          new GenericInternalRow(vals): InternalRow
-        }
-      }
+      it.flatMap(block => rowsOfBlock(block, names, dts, withShard = extra == 1))
     }
     InternalRowShim.createDataFrame(spark, rdd, outSchema)
+  }
+
+  /** Decode one block into InternalRows. `positions` (if non-null)
+    * gathers only those row indexes, in the given order — the
+    * index-gather fast path (cf. reference positional gather,
+    * python-blosc2 ctable_indexing.py gather constants).
+    */
+  def rowsOfBlock(block: EncodedBlock, names: Array[String], dts: Array[DataType],
+                  withShard: Boolean, positions: Array[Int] = null): Iterator[InternalRow] = {
+    val byName = block.cols.map(c => c.name -> c).toMap
+    val vecs = names.map(n => decodeColumn(byName(n)))
+    val getters = new Array[Int => Any](names.length)
+    var c = 0
+    while (c < names.length) { getters(c) = internalGetter(vecs(c), dts(c)); c += 1 }
+    val extra = if (withShard) 1 else 0
+    def mk(r: Int): InternalRow = {
+      val vals = new Array[Any](names.length + extra)
+      var i = 0
+      while (i < names.length) {
+        vals(i) = if (vecs(i).isValid(r)) getters(i)(r) else null
+        i += 1
+      }
+      if (extra == 1) vals(names.length) = block.shard
+      new GenericInternalRow(vals)
+    }
+    if (positions == null) Iterator.tabulate(block.nRows)(mk)
+    else positions.iterator.map(mk)
   }
 
   def decodeColumn(col: EncodedCol): ColVec = ChunkCodec.decode(col.payload)

@@ -1,0 +1,270 @@
+package graft.index
+
+import graft.encode.{EncodedBlock, MetaIndex, TableCodec}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.InternalRowShim
+import org.apache.spark.sql.types._
+
+/** Persistent secondary indexes over the encoded block store — the
+  * Spark-native analog of the reference's largest query subsystem
+  * (python-blosc2 indexing.py:4019 `create_index`, FULL/BUCKET/SUMMARY
+  * kinds; SUMMARY is our zone map, graft.encode.MetaIndex).
+  *
+  * FULL index: one row per (key, chunk, position), range-partitioned
+  * and sorted by key, stored as parquet under `<store>/_index/full/<col>`.
+  * A range probe reads the index with the key predicate pushed into the
+  * scan (row-group stats skip non-intersecting groups), groups the
+  * surviving positions per chunk, fetches ONLY those chunks (pushed
+  * chunk keys), and gathers rows by position — never decoding a chunk
+  * the index did not name. Serves point/range lookups and index-ordered
+  * scans (reference: sort_by served from a FULL index, ctable.py:11812).
+  *
+  * BUCKET index: one row per (hash bucket, chunk) — chunk-granular,
+  * tiny, for equality probes on high-cardinality columns where a FULL
+  * index is not worth its bytes (reference BUCKET kind).
+  *
+  * Scale notes: the index build is one shuffle (range partition of
+  * narrow (key, pos) rows); probes read O(log) row groups of the index
+  * + O(selected) chunks of the store. Gathered positions flow through a
+  * broadcast (bounded by Planner.MAX_GATHER_ROWS — beyond that a scan
+  * wins anyway, see Planner).
+  */
+object IndexStore {
+
+  def fullPath(storeDir: String, colName: String) = s"$storeDir/_index/full/$colName"
+  def bucketPath(storeDir: String, colName: String) = s"$storeDir/_index/bucket/$colName"
+
+  final case class LongEntry(key: Long, shard: Int, partId: Int, chunkId: Long, pos: Int)
+  final case class StrEntry(key: String, shard: Int, partId: Int, chunkId: Long, pos: Int)
+  final case class DblEntry(key: Double, shard: Int, partId: Int, chunkId: Long, pos: Int)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  def hasFull(spark: SparkSession, storeDir: String, colName: String): Boolean =
+    exists(spark, fullPath(storeDir, colName))
+  def hasBucket(spark: SparkSession, storeDir: String, colName: String): Boolean =
+    exists(spark, bucketPath(storeDir, colName))
+
+  /** Build (or rebuild) the FULL index for `colName`. One pass over the
+    * store decoding ONLY the indexed column's payloads; NULL keys are
+    * not indexed (IS NULL probes fall back to scan, standard semantics).
+    */
+  def createFull(spark: SparkSession, storeDir: String, schema: StructType, colName: String): Unit = {
+    import graft.codecs.{BinVec, DoubleVec, LongVec}
+    implicit val encB: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
+    val blocks = spark.read.parquet(storeDir)
+      .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+    val out = fullPath(storeDir, colName)
+    val dt = schema(colName).dataType
+
+    def entries[T: scala.reflect.ClassTag](f: (graft.codecs.ColVec, EncodedBlock) => Iterator[T]) =
+      blocks.rdd.flatMap { b =>
+        val c = b.cols.find(_.name == colName)
+          .getOrElse(throw new IllegalArgumentException(s"no column $colName in block"))
+        f(TableCodec.decodeColumn(c), b)
+      }
+
+    dt match {
+      case StringType =>
+        val rdd = entries { (vec, b) =>
+          val v = vec.asInstanceOf[BinVec]
+          Iterator.range(0, v.n).filter(v.isValid).map(i =>
+            StrEntry(new String(v.values(i), java.nio.charset.StandardCharsets.UTF_8), b.shard, b.partId, b.chunkId, i))
+        }
+        spark.createDataset(rdd)(Encoders.product[StrEntry])
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(out)
+      case DoubleType | FloatType =>
+        val rdd = entries { (vec, b) =>
+          val v = vec.asInstanceOf[DoubleVec]
+          Iterator.range(0, v.n).filter(v.isValid).map(i =>
+            DblEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
+        }
+        spark.createDataset(rdd)(Encoders.product[DblEntry])
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(out)
+      case _ => // every long-backed type (int/long/ts/date/bool/short/byte/dec<=18)
+        val rdd = entries { (vec, b) =>
+          val v = vec.asInstanceOf[LongVec]
+          Iterator.range(0, v.n).filter(v.isValid).map(i =>
+            LongEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
+        }
+        spark.createDataset(rdd)(Encoders.product[LongEntry])
+          .repartitionByRange(col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(out)
+    }
+  }
+
+  /** Build the BUCKET index: distinct (bucket, chunk) pairs. */
+  def createBucket(spark: SparkSession, storeDir: String, schema: StructType,
+                   colName: String, nBuckets: Int = 1 << 14): Unit = {
+    import graft.codecs.{BinVec, LongVec}
+    implicit val encB: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
+    val blocks = spark.read.parquet(storeDir)
+      .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+    val rdd = blocks.rdd.flatMap { b =>
+      val c = b.cols.find(_.name == colName).get
+      val vec = TableCodec.decodeColumn(c)
+      val buckets = scala.collection.mutable.BitSet()
+      vec match {
+        case v: BinVec =>
+          var i = 0
+          while (i < v.n) { if (v.isValid(i)) buckets += bucketOfBytes(v.values(i), nBuckets); i += 1 }
+        case v: LongVec =>
+          var i = 0
+          while (i < v.n) { if (v.isValid(i)) buckets += bucketOfLong(v.values(i), nBuckets); i += 1 }
+        case v => throw new IllegalArgumentException(s"bucket index on ${v.getClass.getSimpleName}")
+      }
+      buckets.iterator.map(bk => (bk, b.shard, b.partId, b.chunkId))
+    }
+    spark.createDataset(rdd)(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("bucket", "shard", "partId", "chunkId")
+      .repartitionByRange(col("bucket")).sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(bucketPath(storeDir, colName))
+  }
+
+  def bucketOfBytes(v: Array[Byte], nBuckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.bytesHash(v, 0x9747b28c), nBuckets)
+  def bucketOfLong(v: Long, nBuckets: Int): Int =
+    math.floorMod(graft.corpus.Corpus.mix(v).toInt, nBuckets)
+
+  /** Read the FULL index for a key range with the predicate pushed into
+    * the parquet scan. `lo`/`hi` in the index key domain (long for
+    * long-backed columns, raw string, double).
+    */
+  def readFullRange(spark: SparkSession, storeDir: String, schema: StructType,
+                    colName: String, lo: String, hi: String): DataFrame = {
+    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    schema(colName).dataType match {
+      case StringType => idx.filter(col("key") >= lo && col("key") <= hi)
+      case DoubleType | FloatType => idx.filter(col("key") >= lo.toDouble && col("key") <= hi.toDouble)
+      case _ => idx.filter(col("key") >= lo.toLong && col("key") <= hi.toLong)
+    }
+  }
+
+  /** Index-served range lookup: probe the FULL index, fetch only the
+    * named chunks, gather only the named positions. Returns rows of
+    * `schema`. Caller (Planner) bounds the gather size.
+    */
+  def rangeGather(spark: SparkSession, storeDir: String, schema: StructType,
+                  colName: String, lo: String, hi: String): DataFrame = {
+    val hits = readFullRange(spark, storeDir, schema, colName, lo, hi)
+      .select("shard", "partId", "chunkId", "pos").collect()
+    val byChunk: Map[(Int, Int, Long), Array[Int]] =
+      hits.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .map { case (k, rs) => k -> rs.map(_.getInt(3)).sorted }
+    gather(spark, storeDir, schema, byChunk)
+  }
+
+  /** Equality probe through the BUCKET index: decode only chunks whose
+    * bucket set contains the probe's bucket, then exact-filter.
+    */
+  def bucketProbe(spark: SparkSession, storeDir: String, schema: StructType,
+                  colName: String, value: String, nBuckets: Int = 1 << 14): DataFrame = {
+    val bk = schema(colName).dataType match {
+      case StringType => bucketOfBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8), nBuckets)
+      case _ => bucketOfLong(value.toLong, nBuckets)
+    }
+    val chunks = spark.read.parquet(bucketPath(storeDir, colName))
+      .filter(col("bucket") === bk) // pushed → row-group skip
+      .select("shard", "partId", "chunkId").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val blocks = MetaIndex.readBlocksByKeys(spark, storeDir, chunks)
+    val exact = schema(colName).dataType match {
+      case StringType => col(colName) === value
+      case dt => col(colName) === lit(value).cast(dt)
+    }
+    TableCodec.decode(blocks, schema).filter(exact)
+  }
+
+  /** Decode the given chunks and emit only the given positions. */
+  def gather(spark: SparkSession, storeDir: String, schema: StructType,
+             posByChunk: Map[(Int, Int, Long), Array[Int]]): DataFrame = {
+    val names = schema.fieldNames
+    val dts = schema.fields.map(_.dataType)
+    val blocks = MetaIndex.readBlocksByKeys(spark, storeDir, posByChunk.keys.toSeq)
+    val bc = spark.sparkContext.broadcast(posByChunk)
+    val rdd = blocks.rdd.mapPartitions { it =>
+      it.flatMap { b =>
+        bc.value.get((b.shard, b.partId, b.chunkId)) match {
+          case Some(positions) => TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions)
+          case None => Iterator.empty
+        }
+      }
+    }
+    InternalRowShim.createDataFrame(spark, rdd, schema)
+  }
+
+  /** Index-ordered top-k (the reference serves sort_by from a FULL
+    * index, ctable.py:11812): order the NARROW (key, chunk, pos) index
+    * rows — TakeOrderedAndProject on 30-byte rows, not wide ones — then
+    * gather exactly k rows from the store.
+    */
+  def sortedTopK(spark: SparkSession, storeDir: String, schema: StructType,
+                 colName: String, k: Int, ascending: Boolean = true): DataFrame = {
+    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    val ordered = if (ascending)
+      idx.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))
+    else idx.orderBy(col("key").desc, col("shard"), col("partId"), col("chunkId"), col("pos"))
+    val top = ordered.limit(k).select("shard", "partId", "chunkId", "pos").collect()
+    val byChunk = top.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .map { case (kk, rs) => kk -> rs.map(_.getInt(3)).sorted }
+    gather(spark, storeDir, schema, byChunk)
+  }
+}
+
+/** Cost-model query planner over the encoded store — the analog of the
+  * reference's `plan_query` (python-blosc2 indexing.py:6956) with its
+  * measured gather-vs-scan constants (ctable_indexing.py:238-242).
+  *
+  * Paths, cheapest metadata first:
+  *  - FULL-index gather: decode cost ∝ chunks the index names, plus a
+  *    broadcast of the matching positions — wins when selective.
+  *  - zone scan: decode cost ∝ chunks whose [min,max] intersects.
+  *  - full scan: everything (zone keys unbounded / no index).
+  */
+object Planner {
+
+  /** Above this many matching rows the gather's position broadcast and
+    * row-at-a-time assembly lose to a streaming chunk scan (measured:
+    * decode ~1.6 GB/s vs ~8M gathered rows/s/core on this container).
+    */
+  val MAX_GATHER_ROWS = 200000L
+
+  /** A gather must touch meaningfully fewer chunks than the zone scan
+    * to pay for its index probe (reference keeps the same shaped
+    * constant, ctable_indexing.py:238-242).
+    */
+  val GATHER_CHUNK_ADVANTAGE = 0.75
+
+  final case class Choice(path: String, estRows: Long, idxChunks: Long, zoneChunks: Long, totalChunks: Long)
+
+  def plan(spark: SparkSession, storeDir: String, schema: StructType,
+           colName: String, lo: String, hi: String): Choice = {
+    val (zoneCand, total) = MetaIndex.pruningStats(spark, storeDir, colName, lo, hi)
+    if (!IndexStore.hasFull(spark, storeDir, colName))
+      return Choice("zone-scan", -1L, -1L, zoneCand, total)
+    val idx = IndexStore.readFullRange(spark, storeDir, schema, colName, lo, hi)
+      .groupBy("shard", "partId", "chunkId").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("chunks"), sum("n").as("rows")).head()
+    val idxChunks = idx.getLong(0)
+    val idxRows = if (idx.isNullAt(1)) 0L else idx.getLong(1)
+    if (idxRows <= MAX_GATHER_ROWS && idxChunks <= (zoneCand * GATHER_CHUNK_ADVANTAGE).toLong + 1)
+      Choice("index-gather", idxRows, idxChunks, zoneCand, total)
+    else Choice("zone-scan", idxRows, idxChunks, zoneCand, total)
+  }
+
+  /** Execute a range query through the chosen path. */
+  def query(spark: SparkSession, storeDir: String, schema: StructType,
+            colName: String, lo: String, hi: String): (DataFrame, Choice) = {
+    val c = plan(spark, storeDir, schema, colName, lo, hi)
+    val df = c.path match {
+      case "index-gather" => IndexStore.rangeGather(spark, storeDir, schema, colName, lo, hi)
+      case _ => MetaIndex.lookup(spark, storeDir, schema, colName, lo, hi)
+    }
+    (df, c)
+  }
+}

@@ -580,18 +580,31 @@ object Queries {
       |FROM lineitem WHERE l_orderkey < 2000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Encoded documents store shared by the store/index queries: built
+    * once per (JVM, sf dir), input order preserved → tight doc_id zone
+    * maps; FULL indexes on doc_id and n_chars, BUCKET index on lang.
+    */
+  private val builtStores = scala.collection.concurrent.TrieMap[String, String]()
+  private def docStore(s: SparkSession, dir: String): String =
+    builtStores.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft-zstore-${Integer.toHexString(dir.hashCode)}"
+      TableCodec.encode(docs, chunkRows = 512).write.mode("overwrite").parquet(store)
+      graft.index.IndexStore.createFull(s, store, docs.schema, "doc_id")
+      graft.index.IndexStore.createFull(s, store, docs.schema, "n_chars")
+      graft.index.IndexStore.createBucket(s, store, docs.schema, "lang")
+      store
+    })
+
+  private def docsSchema(s: SparkSession, dir: String) = t(s, dir, "documents").schema
+
   /** Point/range lookup over a PERSISTED encoded store via the
-    * metadata-only zone-map prune (MetaIndex): encode documents into a
-    * parquet block store (input order preserved → tight doc_id zones),
-    * then serve a range query that decodes only intersecting chunks.
-    * Oracle: the same range filter on the raw table.
+    * metadata-only zone-map prune (MetaIndex): decode only chunks whose
+    * zone intersects. Oracle: the same range filter on the raw table.
     */
   def storePointLookup(s: SparkSession, dir: String): DataFrame = {
     import graft.encode.MetaIndex
-    val docs = t(s, dir, "documents")
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft-zstore-${Integer.toHexString(dir.hashCode)}"
-    TableCodec.encode(docs, chunkRows = 512).write.mode("overwrite").parquet(store)
-    MetaIndex.lookup(s, store, docs.schema, "doc_id", "100", "149")
+    MetaIndex.lookup(s, docStore(s, dir), docsSchema(s, dir), "doc_id", "100", "149")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
@@ -599,6 +612,42 @@ object Queries {
   val storePointLookupSql: String =
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id BETWEEN 100 AND 149 ORDER BY doc_id""".stripMargin
+
+  /** Range query planned by the cost model (Planner.plan: FULL-index
+    * gather vs zone scan) and served from the persistent index
+    * (reference plan_query, indexing.py:6956).
+    */
+  def indexRangeLookup(s: SparkSession, dir: String): DataFrame = {
+    val (df, _) = graft.index.Planner.query(s, docStore(s, dir), docsSchema(s, dir), "doc_id", "200", "449")
+    df.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
+  val indexRangeLookupSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 200 AND 449 ORDER BY doc_id""".stripMargin
+
+  /** sort_by served from the FULL index (reference ctable.py:11812):
+    * order the narrow index rows, gather exactly k wide rows.
+    */
+  def indexSortedTopK(s: SparkSession, dir: String): DataFrame =
+    graft.index.IndexStore.sortedTopK(s, docStore(s, dir), docsSchema(s, dir), "n_chars", 50, ascending = false)
+      .select("doc_id", "n_chars")
+      .orderBy(desc("n_chars"), col("doc_id"))
+
+  val indexSortedTopKSql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Equality probe through the BUCKET index: decode only chunks whose
+    * bucket set contains the probe bucket.
+    */
+  def indexBucketEq(s: SparkSession, dir: String): DataFrame =
+    graft.index.IndexStore.bucketProbe(s, docStore(s, dir), docsSchema(s, dir), "lang", "de")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val indexBucketEqSql: String =
+    """SELECT doc_id, lang FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin
 
   /** Codec plan mix chosen by the auto-selector over the documents
     * table (rows-only: plans are engine-internal).
@@ -651,7 +700,10 @@ object Queries {
     "roundtrip_events" -> (roundtripEvents _),
     "roundtrip_embeddings" -> (roundtripEmbeddings _),
     "roundtrip_typed" -> (roundtripTyped _),
-    "store_point_lookup" -> (storePointLookup _)
+    "store_point_lookup" -> (storePointLookup _),
+    "index_range_lookup" -> (indexRangeLookup _),
+    "index_sorted_topk" -> (indexSortedTopK _),
+    "index_bucket_eq" -> (indexBucketEq _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -684,6 +736,9 @@ object Queries {
     "roundtrip_events" -> roundtripEventsSql,
     "roundtrip_embeddings" -> roundtripEmbeddingsSql,
     "roundtrip_typed" -> roundtripTypedSql,
-    "store_point_lookup" -> storePointLookupSql
+    "store_point_lookup" -> storePointLookupSql,
+    "index_range_lookup" -> indexRangeLookupSql,
+    "index_sorted_topk" -> indexSortedTopKSql,
+    "index_bucket_eq" -> indexBucketEqSql
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.encode.TableCodec
+import graft.index.{IndexStore, Planner}
+import org.apache.spark.sql.functions._
+
+/** Persistent FULL/BUCKET indexes + the cost-model planner (the
+  * reference's create_index / plan_query subsystem, indexing.py:4019 /
+  * :6956, gather-vs-scan constants ctable_indexing.py:238-242).
+  */
+class IndexSpec extends SparkTestBase {
+
+  private lazy val df = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    Corpus.generate(spark, 2000, 8).toDF()
+      .withColumn("row_id", monotonically_increasing_id())
+  }
+
+  private lazy val storeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    TableCodec.encode(df, chunkRows = 100).write.mode("overwrite").parquet(dir)
+    IndexStore.createFull(spark, dir, df.schema, "row_id")
+    IndexStore.createFull(spark, dir, df.schema, "repo")
+    IndexStore.createBucket(spark, dir, df.schema, "commit")
+    dir
+  }
+
+  test("FULL index range gather equals the full-scan filter") {
+    val viaIndex = IndexStore.rangeGather(spark, storeDir, df.schema, "row_id", "100", "299")
+    val viaScan = df.filter(col("row_id").between(100, 299))
+    assert(viaIndex.count() == viaScan.count())
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(sum(crc32(concat_ws("|", col("row_id"), col("repo"), col("path"), col("content"))))).head().getLong(0)
+    assert(h(viaIndex) == h(viaScan))
+  }
+
+  test("FULL index on a string column serves range probes") {
+    val target = df.select("repo").orderBy("repo").head().getString(0)
+    val viaIndex = IndexStore.rangeGather(spark, storeDir, df.schema, "repo", target, target)
+    assert(viaIndex.count() == df.filter(col("repo") === target).count())
+  }
+
+  test("planner picks index-gather for selective ranges and touches few chunks") {
+    val c = Planner.plan(spark, storeDir, df.schema, "row_id", "100", "299")
+    assert(c.path == "index-gather", c.toString)
+    assert(c.totalChunks >= 20, c.toString)
+    // the scan count drops: the gather touches only the chunks the index names
+    assert(c.idxChunks < c.totalChunks / 2, s"gather should touch few chunks: $c")
+    val (res, choice) = Planner.query(spark, storeDir, df.schema, "row_id", "100", "299")
+    assert(choice.path == "index-gather")
+    assert(res.count() == df.filter(col("row_id").between(100, 299)).count())
+  }
+
+  test("planner falls back to zone scan for non-selective ranges and missing indexes") {
+    // whole-domain range: index names every chunk → scan
+    val c = Planner.plan(spark, storeDir, df.schema, "row_id", "0", s"${Long.MaxValue}")
+    assert(c.path == "zone-scan", c.toString)
+    // no index on lang → zone scan, still correct
+    val (res, choice) = Planner.query(spark, storeDir, df.schema, "lang", "c", "c")
+    assert(choice.path == "zone-scan")
+    assert(res.count() == df.filter(col("lang") === "c").count())
+  }
+
+  test("index-ordered top-k equals sort+limit on the raw table") {
+    val viaIndex = IndexStore.sortedTopK(spark, storeDir, df.schema, "row_id", 25, ascending = false)
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    val viaSort = df.orderBy(desc("row_id")).limit(25)
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(viaIndex.toSeq == viaSort.toSeq)
+  }
+
+  test("BUCKET index equality probe is exact and prunes chunks") {
+    val target = df.select("commit").head().getString(0)
+    val viaBucket = IndexStore.bucketProbe(spark, storeDir, df.schema, "commit", target)
+    val expected = df.filter(col("commit") === target)
+    assert(viaBucket.count() == expected.count())
+    assert(viaBucket.count() >= 1)
+    // probe reads only chunks whose bucket set matched — a single commit
+    // lives in one chunk, so the listed chunk set must be tiny
+    val bk = IndexStore.bucketOfBytes(target.getBytes("UTF-8"), 1 << 14)
+    val listed = spark.read.parquet(IndexStore.bucketPath(storeDir, "commit"))
+      .filter(col("bucket") === bk).count()
+    val total = spark.read.parquet(storeDir).count()
+    assert(listed < total / 2, s"bucket lists $listed of $total chunks")
+  }
+}
