@@ -130,7 +130,54 @@ object BinKernels {
     case m => throw new IllegalArgumentException(s"bin method $m")
   }
 
+  /** Counts full value-materializing decodes — lets specs prove that
+    * the decode-free dictionary predicate path never materializes
+    * values (graft.index.DictFilter); negligible cost in production.
+    */
+  val fullDecodes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Decode-free equality over a DICT body: read ONLY the dictionary
+    * head, map the target byte-strings to codes, and — only if any
+    * target is present — unpack the bit-packed code stream and return
+    * matching positions. Values are never materialized; a chunk whose
+    * dictionary lacks every target costs just the dictionary read.
+    * Mirrors the reference's dictionary-predicate rewrite
+    * (python-blosc2 ctable.py:12953-13029: string compare → int32 code
+    * compare).
+    *
+    * `r` must be positioned at the DICT body (after the validity
+    * bitmap). Null positions never match (SQL equality semantics).
+    */
+  def dictEqualityPositions(r: Bytes.Reader, n: Int, validity: Array[Boolean],
+                            targets: Array[Array[Byte]]): Array[Int] = {
+    val dSize = r.getVarInt()
+    val wanted = new Array[Boolean](dSize)
+    var anyHit = false
+    var i = 0
+    while (i < dSize) {
+      val entry = r.getBytes(r.getVarInt())
+      var t = 0
+      while (t < targets.length && !wanted(i)) {
+        if (java.util.Arrays.equals(entry, targets(t))) { wanted(i) = true; anyHit = true }
+        t += 1
+      }
+      i += 1
+    }
+    if (!anyHit) return Array.emptyIntArray
+    val width = r.getByte()
+    val codes = new Array[Long](n)
+    BitPack.unpack(r, n, width, codes, 0)
+    val out = new mutable.ArrayBuffer[Int]()
+    i = 0
+    while (i < n) {
+      if ((validity == null || validity(i)) && wanted(codes(i).toInt)) out += i
+      i += 1
+    }
+    out.toArray
+  }
+
   def decode(method: Byte, r: Bytes.Reader, n: Int, validity: Array[Boolean]): Array[Array[Byte]] = {
+    fullDecodes.incrementAndGet()
     val out = new Array[Array[Byte]](n)
     method match {
       case Method.PLAIN =>

@@ -200,6 +200,37 @@ object ChunkCodec {
   /** (method, entropy) of an encoded block without decoding it. */
   def peekPlan(block: Array[Byte]): Plan = Plan(block(3), block(4), block(5) & 0xff)
 
+  /** Decode-free equality on a DICT-encoded chunk: returns the matching
+    * row positions WITHOUT materializing any value (codes compared in
+    * the dictionary domain), or None when the chunk is not
+    * DICT/CONST-encoded and the caller must fall back to a full decode.
+    * CONST chunks are served by a single compare (all-or-nothing).
+    */
+  def dictEqualityPositions(block: Array[Byte], targets: Array[Array[Byte]]): Option[Array[Int]] = {
+    val r = new Bytes.Reader(block)
+    require(r.getByte() == MAGIC, "bad magic")
+    require(r.getByte() == VERSION, "bad version")
+    val colType = r.getByte().toByte
+    val method = r.getByte().toByte
+    val entropy = r.getByte().toByte
+    r.getByte() // level
+    if (colType != ColType.BIN || (method != Method.DICT && method != Method.CONST)) return None
+    val n = r.getVarInt()
+    val nulls = r.getVarInt()
+    val rawLen = r.getVarInt()
+    val payload = r.getBytes(block.length - r.pos)
+    val raw = Entropy.decompress(entropy, payload, rawLen)
+    val body = new Bytes.Reader(raw)
+    val validity = if (nulls > 0) readValidity(body, n) else null
+    if (method == Method.CONST) {
+      if (n == 0) return Some(Array.emptyIntArray)
+      val v = body.getBytes(body.getVarInt())
+      val hit = targets.exists(t => java.util.Arrays.equals(t, v))
+      if (!hit) Some(Array.emptyIntArray)
+      else Some(Array.range(0, n).filter(i => validity == null || validity(i)))
+    } else Some(BinKernels.dictEqualityPositions(body, n, validity, targets))
+  }
+
   private def writeValidity(validity: Array[Boolean], w: Bytes.Writer): Unit = {
     val n = validity.length
     var i = 0

@@ -203,6 +203,128 @@ object Lineage {
     deleted
   }
 
+  /** Copy-on-write UPDATE over the encoded store (the reference's
+    * update_chunk/__setitem__ path, python-blosc2 schunk.py:1013/1243,
+    * lifted to shard-granular rewrite): decode only shards containing
+    * matching rows, apply the SET expressions to matching rows, and
+    * atomically replace those shard partitions. NULL-valued predicates
+    * leave the row unchanged (three-valued logic).
+    *
+    * @param set column name → new-value expression (evaluated on the row)
+    * @return number of rows updated
+    */
+  def updateWhere(
+      spark: SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      chunkRows: Int = TableCodec.CHUNK_ROWS
+  ): Long = {
+    require(set.keys.forall(schema.fieldNames.contains), s"unknown SET columns: ${set.keys}")
+    val matched = coalesce(predicate, lit(false))
+    val hits = TableCodec.decode(readBlocks(spark, outDir), schema, shardColName = Some(SHARD_COL))
+      .groupBy(col(SHARD_COL))
+      .agg(sum(matched.cast("long")).as("n_upd"))
+      .filter(col("n_upd") > 0)
+      .collect()
+    if (hits.isEmpty) return 0L
+    val hitShards = hits.map(_.getInt(0)).toSeq.sorted
+    val updated = hits.map(_.getLong(1)).sum
+
+    val decoded = TableCodec.decode(readBlocks(spark, outDir, Some(hitShards)), schema, shardColName = Some(SHARD_COL))
+    val projected = decoded.select(
+      (schema.fieldNames.map { n =>
+        set.get(n) match {
+          case Some(e) => when(matched, e).otherwise(col(n)).as(n)
+          case None => col(n)
+        }
+      } :+ col(SHARD_COL)): _*)
+      .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
+      .sortWithinPartitions(SHARD_COL)
+    val reencoded = TableCodec.encode(projected, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
+    withDynamicOverwrite(spark) {
+      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    }
+    updated
+  }
+
+  /** Upsert (the reference's extend/insert path, ctable.py:12718 +
+    * schunk.py:912 insert_chunk): rows of `newRows` whose `idCols`
+    * already exist replace the old rows; the rest are inserted. Only
+    * the shards hashed by the new rows are decoded and rewritten.
+    *
+    * @param nShards must match the store's lineage shard count
+    * @return (rowsReplaced, rowsInserted)
+    */
+  def upsert(
+      spark: SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      newRows: DataFrame,
+      idCols: Seq[String],
+      nShards: Int = 64,
+      chunkRows: Int = TableCodec.CHUNK_ROWS
+  ): (Long, Long) = {
+    val sharded = newRows.withColumn(
+      SHARD_COL, pmod(xxhash64(idCols.map(col): _*), lit(nShards)).cast("int"))
+    val hitShards = sharded.select(SHARD_COL).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // row counts before/after come from store METADATA (nRows column,
+    // payloads never read) — the only decode of the affected shards is
+    // the one inside the rewrite job itself
+    def metaRows(): Long = {
+      val r = spark.read.parquet(outDir)
+        .filter(col("shard").isin(hitShards.map(Integer.valueOf): _*))
+        .agg(sum("nRows")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val oldRows = metaRows()
+    val newCount = newRows.count()
+    val old = TableCodec.decode(readBlocks(spark, outDir, Some(hitShards)), schema, shardColName = Some(SHARD_COL))
+    val keyOnly = newRows.select(idCols.map(col): _*)
+    val kept = old.join(broadcast(keyOnly), idCols, "left_anti")
+    val merged = kept.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*)
+      .unionByName(sharded.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*))
+      .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
+      .sortWithinPartitions(SHARD_COL)
+    val reencoded = TableCodec.encode(merged, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
+    withDynamicOverwrite(spark) {
+      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    }
+    val afterRows = metaRows()
+    val replaced = oldRows + newCount - afterRows
+    (replaced, newCount - replaced)
+  }
+
+  /** Refresh the derived per-shard manifest stats after CoW mutations
+    * (the reference's refresh_generated_column staleness story,
+    * ctable.py:10520): recompute rows/bytes per shard from the store's
+    * METADATA columns (payloads never read) and rewrite the manifest.
+    */
+  def refreshManifest(spark: SparkSession, outDir: String): Unit = {
+    val now = System.currentTimeMillis()
+    val stats = spark.read.parquet(outDir)
+      .select(col("shard"), col("nRows"),
+        expr("aggregate(cols, 0L, (acc, c) -> acc + c.nBytes)").as("nBytes"),
+        expr("aggregate(cols, 0L, (acc, c) -> acc + c.cBytes)").as("cBytes"))
+      .groupBy("shard")
+      .agg(sum("nRows").as("nRows"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
+      .collect()
+      .map(r => ShardManifest(r.getInt(0), -1, r.getLong(1), r.getLong(2), r.getLong(3), 0L, now))
+    spark.createDataset(stats.toSeq)(Encoders.product[ShardManifest])
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(outDir))
+  }
+
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Read encoded blocks back (all shards or a subset — partition-pruned). */
   def readBlocks(spark: SparkSession, outDir: String, shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] = {
     implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]

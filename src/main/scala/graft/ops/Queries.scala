@@ -398,6 +398,20 @@ object Queries {
     Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** ANN top-k served from the bucket-partitioned store (partition
+    * pruning reads only the probe buckets; rows-only — bucket
+    * membership is not SQL-expressible).
+    */
+  def simAnnStoreTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft-annstore-${Integer.toHexString(dir.hashCode)}"
+    Similarity.writeBucketedStore(emb, "vec_id", "embedding", store)
+    Similarity.lshTopKFromStore(s, store, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -649,6 +663,18 @@ object Queries {
   val indexBucketEqSql: String =
     """SELECT doc_id, lang FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin
 
+  /** Decode-free dictionary isin over the encoded store: DICT chunks
+    * answer in the code domain (values of non-matching chunks are never
+    * materialized, see DictFilterSpec).
+    */
+  def dictIsinScan(s: SparkSession, dir: String): DataFrame =
+    graft.index.DictFilter.isinScan(s, docStore(s, dir), docsSchema(s, dir), "lang", Seq("es", "fr"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val dictIsinScanSql: String =
+    """SELECT doc_id, lang FROM documents WHERE lang IN ('es', 'fr') ORDER BY doc_id""".stripMargin
+
   /** Codec plan mix chosen by the auto-selector over the documents
     * table (rows-only: plans are engine-internal).
     */
@@ -689,6 +715,7 @@ object Queries {
     "dedup_ngram" -> (dedupNgram _),
     "sim_topk_cosine" -> (simTopK _),
     "sim_lsh_buckets" -> (simLshBuckets _),
+    "sim_ann_store_topk" -> (simAnnStoreTopK _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -703,7 +730,8 @@ object Queries {
     "store_point_lookup" -> (storePointLookup _),
     "index_range_lookup" -> (indexRangeLookup _),
     "index_sorted_topk" -> (indexSortedTopK _),
-    "index_bucket_eq" -> (indexBucketEq _)
+    "index_bucket_eq" -> (indexBucketEq _),
+    "dict_isin_scan" -> (dictIsinScan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -739,6 +767,7 @@ object Queries {
     "store_point_lookup" -> storePointLookupSql,
     "index_range_lookup" -> indexRangeLookupSql,
     "index_sorted_topk" -> indexSortedTopKSql,
-    "index_bucket_eq" -> indexBucketEqSql
+    "index_bucket_eq" -> indexBucketEqSql,
+    "dict_isin_scan" -> dictIsinScanSql
   )
 }

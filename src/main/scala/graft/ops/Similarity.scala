@@ -70,20 +70,58 @@ object Similarity {
                  nPlanes: Int = 12, dim: Int = 64, seed: Long = 7L): DataFrame =
     df.select(col(idCol), bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
 
-  /** ANN top-k: probe the query's bucket and its hamming-1 neighbors,
-    * brute-force only inside them.
-    */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int,
-              nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    val ps = planes(nPlanes, query.length, seed)
+  /** Bucket of a driver-side query vector under the same planes. */
+  def bucketOf(query: Array[Float], ps: Array[Array[Float]]): Long = {
     var qBucket = 0L
     ps.zipWithIndex.foreach { case (p, i) =>
       val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (dot >= 0) qBucket |= 1L << i
     }
-    val probes = qBucket +: Array.tabulate(nPlanes)(i => qBucket ^ (1L << i))
+    qBucket
+  }
+
+  /** Probe set: the query's bucket plus its hamming-1 neighbors. */
+  def probeBuckets(query: Array[Float], nPlanes: Int, seed: Long): Array[Long] = {
+    val ps = planes(nPlanes, query.length, seed)
+    val qBucket = bucketOf(query, ps)
+    qBucket +: Array.tabulate(nPlanes)(i => qBucket ^ (1L << i))
+  }
+
+  /** ANN top-k: probe the query's bucket and its hamming-1 neighbors,
+    * brute-force only inside them (in-memory variant — recomputes
+    * bucket ids; use the bucketed store for repeated probes).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+    val ps = planes(nPlanes, query.length, seed)
+    val probes = probeBuckets(query, nPlanes, seed)
     df.withColumn("bucket", bucketCol(col(vecCol), ps))
+      .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the bucketed embedding table PARTITIONED BY bucket: at
+    * 100 TB a probe touches nPlanes+1 of the 2^nPlanes partition dirs
+    * (directory-level pruning), never the full table.
+    */
+  def writeBucketedStore(df: DataFrame, idCol: String, vecCol: String, outDir: String,
+                         nPlanes: Int = 12, dim: Int = 64, seed: Long = 7L): Unit =
+    df.select(col(idCol), col(vecCol),
+        bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+
+  /** ANN top-k against the bucketed store: the probe-bucket isin filter
+    * lands in the scan's PartitionFilters, so only probe partitions are
+    * listed and read (asserted in AnnStoreSpec).
+    */
+  def lshTopKFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                       idCol: String, vecCol: String, query: Array[Float], k: Int,
+                       nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+    val probes = probeBuckets(query, nPlanes, seed)
+    spark.read.parquet(storeDir)
       .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
       .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
