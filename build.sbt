@@ -29,7 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pin the heap: a growing/shrinking heap makes the kernel spend >20%
   // of all cores on page zeroing/remapping under allocation-heavy load
   // (measured via vmstat during encode benchmarks)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: at 32 encode threads the per-value byte[] churn (~2 GB/s of
+  // short-lived strings) makes an 8g heap spend a visible share of wall
+  // in G1 young collections; 12g keeps GC under ~5% of task time
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+AlwaysPreTouch",
 )

@@ -72,7 +72,8 @@ object Bench {
     }
     // small splits so task count ≫ cores at every parallelism level
     // (file-split granularity, not gen partitions, drives encode tasks)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+    val splitMb = sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "32").toLong
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (splitMb * 1024 * 1024).toString)
     // multi-KB strings make the default 4096-row reader batches ~26 MB
     // of per-thread on-heap vector churn; small batches keep the scan
     // allocation-light at high thread counts
@@ -82,15 +83,23 @@ object Bench {
       sum(length(col("content")) + length(col("repo")) + length(col("path")) +
         length(col("commit")) + length(col("lang")))).head().getLong(0)
 
-    // warmup pass (JIT + page cache) then best-of-2 timed passes
+    // contention experiment hook: chunk geometry override
+    val chunkBytes = sys.env.get("SPARK_GRAFT_CHUNK_MB").map(_.toLong * 1024 * 1024)
+      .getOrElse(TableCodec.CHUNK_BYTES)
+
+    // warmup pass (JIT + page cache), then best-of-2 timed passes —
+    // single-host wall noise between runs is up to 2.5x under shared-LLC
+    // contention, so one sample systematically overstates the cost
     TableCodec.encode(corpus.limit(math.min(nRows, 20000L).toInt)).count()
     val agg = new TaskAgg
     spark.sparkContext.addSparkListener(agg)
-    val (_, encSecA) = time(TableCodec.encode(corpus).count())
+    val (_, encSecA1) = time(TableCodec.encode(corpus, chunkBytes = chunkBytes).count())
     spark.sparkContext.removeSparkListener(agg)
     val (cpuNs, runMs, nTasks) = agg.snapshot
-    System.err.println(f"[bench] encode pass A: wall=$encSecA%.1fs taskRun=${runMs / 1000.0}%.1fs " +
-      f"taskCpu=${cpuNs / 1e9}%.1fs tasks=$nTasks par=${runMs / 1000.0 / encSecA}%.1f")
+    val (_, encSecA2) = time(TableCodec.encode(corpus, chunkBytes = chunkBytes).count())
+    val encSecA = math.min(encSecA1, encSecA2)
+    System.err.println(f"[bench] encode passes: wall=$encSecA1%.1fs/$encSecA2%.1fs taskRun=${runMs / 1000.0}%.1fs " +
+      f"taskCpu=${cpuNs / 1e9}%.1fs tasks=$nTasks par=${runMs / 1000.0 / encSecA1}%.1f")
     val blocksPath = s"/tmp/graft-bench/blocks-$nRows-$nParts-${spark.sparkContext.defaultParallelism}"
     val (_, encSecB) = time {
       TableCodec.encode(corpus).write.mode("overwrite").parquet(blocksPath)
@@ -105,10 +114,11 @@ object Bench {
     val cBytes = blocks.flatMap(_.cols.map(_.cBytes))(org.apache.spark.sql.Encoders.scalaLong)
       .agg(sum("value")).head().getLong(0)
 
-    val (_, decSec) = time {
+    def decPass() = time {
       TableCodec.decode(blocks, corpus.schema)
         .select(sum(length(col("content")))).head()
-    }
+    }._2
+    val decSec = math.min(decPass(), decPass())
     val (bad, verSec) = time {
       TableCodec.verify(blocks).filter(v => !v.ok).count()
     }
@@ -131,6 +141,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000").toLong
     val spark = session(cpus)
+
+    // JVM/codegen/scan warmup so the alphabetically-first query doesn't
+    // absorb fresh-fork session startup (~10s of JIT + codegen + footer
+    // reads measured on this host)
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      TableCodec.encode(docs.limit(500)).count()
+      TableCodec.decode(TableCodec.encode(docs.limit(200)), docs.schema).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+    }
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = queries.map { case (name, fn) =>

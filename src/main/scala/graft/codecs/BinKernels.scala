@@ -127,6 +127,9 @@ object BinKernels {
         b += 1
       }
 
+    case m if CodecRegistry.isPluginId(m) =>
+      CodecRegistry.binKernelOrThrow(m).encode(vec, w)
+
     case m => throw new IllegalArgumentException(s"bin method $m")
   }
 
@@ -251,6 +254,10 @@ object BinKernels {
           }
           b += 1
         }
+
+      case m if CodecRegistry.isPluginId(m) =>
+        val dec = CodecRegistry.binKernelOrThrow(m).decode(r, n, validity)
+        System.arraycopy(dec, 0, out, 0, n)
 
       case m => throw new IllegalArgumentException(s"bin method $m")
     }

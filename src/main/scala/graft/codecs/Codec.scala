@@ -62,6 +62,8 @@ object Method {
     case DICT => "dict"
     case FSST => "fsst"
     case BYTEPACK => "bytepack"
+    case m if CodecRegistry.isPluginId(m) =>
+      CodecRegistry.binKernel(m).map(_.name).getOrElse(s"plugin$m")
     case _ => s"m$m"
   }
 }

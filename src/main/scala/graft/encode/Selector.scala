@@ -48,6 +48,9 @@ object Selector {
         Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL)
       )
     case v: BinVec =>
+      // user-registered plugin codecs compete in the same cost model
+      // (reference register_codec semantics)
+      lazy val pluginPlans = CodecRegistry.offeredBin(v).flatMap { case (id, k) => k.plans(id) }
       if (isConstB(v)) Seq(Plan(Method.CONST, Entropy.NONE))
       else if (v.elemWidth > 0)
         // fixed-width element payloads (packed numeric arrays): byte-plane
@@ -56,7 +59,7 @@ object Selector {
           Plan(Method.SHUFFLE, Entropy.ZSTD, ZSTD_LEVEL),
           Plan(Method.SHUFFLE, Entropy.LZ4),
           Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL)
-        )
+        ) ++ pluginPlans
       else {
         val card = sampleCardinality(v)
         if (card.lowCardinality)
@@ -78,7 +81,7 @@ object Selector {
             Plan(Method.FSST, Entropy.ZSTD, ZSTD_HIGH),
             Plan(Method.FSST, Entropy.ZSTD, ZSTD_LEVEL),
             Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_HIGH)
-          )
+          ) ++ pluginPlans
         }
       }
   }
@@ -96,6 +99,8 @@ object Selector {
       case Method.DICT => 8.0
       case Method.BYTEPACK => 5.0
       case Method.RLE | Method.FOR_PACK | Method.DELTA_PACK | Method.SHUFFLE => 2.0
+      case id if CodecRegistry.isPluginId(id) =>
+        CodecRegistry.binKernel(id).map(_.nsPerByte).getOrElse(8.0)
       case _ => 0.5
     }
     val e: Double = p.entropy match {

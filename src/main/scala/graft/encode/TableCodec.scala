@@ -33,7 +33,13 @@ import java.security.MessageDigest
 object TableCodec {
 
   val CHUNK_ROWS: Int = 1 << 16 // 64Ki rows
-  val CHUNK_BYTES: Long = 1L << 24 // 16 MiB raw
+  /** 32 MiB raw (2x blosc2's 2^24 default): contention-aware sizing —
+    * measured on this 32-core host, 16→32 MiB cuts encode CPU/GB from
+    * 45 to 40 core-s (fewer selector trials + per-chunk table builds
+    * per byte) at IDENTICAL compression ratio; larger FSST/DICT scope
+    * can only help ratio. See BENCH/BASELINE.md round-2 table.
+    */
+  val CHUNK_BYTES: Long = 1L << 25
 
   /** Zone-map keys longer than this are dropped (minKey "" = -inf,
     * maxKey "" = +inf) — truncating a max bound would be incorrect, and

@@ -198,6 +198,32 @@ object IndexStore {
     InternalRowShim.createDataFrame(spark, rdd, schema)
   }
 
+  /** Positional slice / take over the store (the reference's
+    * `__getitem__`/take/head/tail row addressing): global row positions
+    * in (shard, partId, chunkId) order — the store's input order. Chunk
+    * offsets come from METADATA only (one nRows row per chunk); only
+    * chunks overlapping [start, start+count) are decoded, and only the
+    * overlapping positions are gathered.
+    */
+  def slice(spark: SparkSession, storeDir: String, schema: StructType,
+            start: Long, count: Long): DataFrame = {
+    val meta = spark.read.parquet(storeDir)
+      .select("shard", "partId", "chunkId", "nRows")
+      .orderBy("shard", "partId", "chunkId").collect()
+    var off = 0L
+    val posByChunk = scala.collection.mutable.Map[(Int, Int, Long), Array[Int]]()
+    meta.foreach { r =>
+      val n = r.getInt(3)
+      val lo = math.max(start, off)
+      val hi = math.min(start + count, off + n)
+      if (lo < hi)
+        posByChunk((r.getInt(0), r.getInt(1), r.getLong(2))) =
+          Array.range((lo - off).toInt, (hi - off).toInt)
+      off += n
+    }
+    gather(spark, storeDir, schema, posByChunk.toMap)
+  }
+
   /** Index-ordered top-k (the reference serves sort_by from a FULL
     * index, ctable.py:11812): order the NARROW (key, chunk, pos) index
     * rows — TakeOrderedAndProject on 30-byte rows, not wide ones — then

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *   verify  <encodedDir>                                  sha256 roundtrip check
   *   decode  <encodedDir> <outParquet>                     decode back to parquet
   *   stats   <encodedDir>                                  codec mix + ratios
+  *   index   <encodedDir> <col>                            build FULL index
+  *   lookup  <encodedDir> <col> <lo> <hi>                  planned range query
+  *   slice   <encodedDir> <start> <count>                  positional rows
+  *   delete  <encodedDir> <col> <value>                    copy-on-write delete
   *
   * On a real cluster the same jar runs unchanged: all stages are
   * shuffle-free mapPartitions (encode/decode/verify) or manifest-sized
@@ -68,9 +72,7 @@ object GraftJob {
 
     case "decode" :: dir :: out :: Nil =>
       val spark = session("graft-decode")
-      val schema = org.apache.spark.sql.types.StructType(
-        Seq("repo", "path", "commit", "lang", "content")
-          .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      val schema = codeSchema
       val t0 = System.nanoTime()
       TableCodec.decode(Lineage.readBlocks(spark, dir), schema)
         .write.mode(SaveMode.Overwrite).parquet(out)
@@ -91,8 +93,45 @@ object GraftJob {
       byPlan.show(100, truncate = false)
       spark.stop()
 
+    case "index" :: dir :: colName :: Nil =>
+      val spark = session("graft-index")
+      val t0 = System.nanoTime()
+      graft.index.IndexStore.createFull(spark, dir, codeSchema, colName)
+      val rows = spark.read.parquet(graft.index.IndexStore.fullPath(dir, colName)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"index","col":"$colName","entries":$rows,"sec":$sec%.2f}""")
+      spark.stop()
+
+    case "lookup" :: dir :: colName :: lo :: hi :: Nil =>
+      val spark = session("graft-lookup")
+      val t0 = System.nanoTime()
+      val (df, choice) = graft.index.Planner.query(spark, dir, codeSchema, colName, lo, hi)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"lookup","col":"$colName","path":"${choice.path}","rows":$n,"idxChunks":${choice.idxChunks},"zoneChunks":${choice.zoneChunks},"totalChunks":${choice.totalChunks},"sec":$sec%.2f}""")
+      spark.stop()
+
+    case "slice" :: dir :: start :: cnt :: Nil =>
+      val spark = session("graft-slice")
+      val n = graft.index.IndexStore.slice(spark, dir, codeSchema, start.toLong, cnt.toLong).count()
+      println(s"""{"job":"slice","start":$start,"count":$cnt,"rows":$n}""")
+      spark.stop()
+
+    case "delete" :: dir :: colName :: value :: Nil =>
+      val spark = session("graft-delete")
+      val t0 = System.nanoTime()
+      val deleted = Lineage.deleteWhere(spark, dir, codeSchema, col(colName) === value)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"delete","col":"$colName","deleted":$deleted,"sec":$sec%.2f}""")
+      spark.stop()
+
     case other =>
       System.err.println(s"unknown args: $other — see GraftJob scaladoc")
       sys.exit(2)
   }
+
+  private def codeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Seq("repo", "path", "commit", "lang", "content")
+        .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
 }

@@ -406,9 +406,14 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft-annstore-${Integer.toHexString(dir.hashCode)}"
-    Similarity.writeBucketedStore(emb, "vec_id", "embedding", store)
-    Similarity.lshTopKFromStore(s, store, "vec_id", "embedding", q, 10)
+    // 2^6 bucket dirs at test scale (at 100 TB you'd raise nPlanes so
+    // each partition stays O(file-size)); store built once per sf dir
+    val store = builtStores.getOrElseUpdate(s"ann:$dir", {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-annstore-${Integer.toHexString(dir.hashCode)}"
+      Similarity.writeBucketedStore(emb, "vec_id", "embedding", p, nPlanes = 6)
+      p
+    })
+    Similarity.lshTopKFromStore(s, store, "vec_id", "embedding", q, 10, nPlanes = 6)
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -663,6 +668,20 @@ object Queries {
   val indexBucketEqSql: String =
     """SELECT doc_id, lang FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin
 
+  /** Positional slice over the encoded store (reference take/slice row
+    * addressing): chunk offsets from metadata only, positional gather
+    * of the overlap. The store preserves input order, and documents is
+    * dense on doc_id, so positions [120,170) are doc_ids 120..169.
+    */
+  def storeSlice(s: SparkSession, dir: String): DataFrame =
+    graft.index.IndexStore.slice(s, docStore(s, dir), docsSchema(s, dir), 120L, 50L)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val storeSliceSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 120 AND 169 ORDER BY doc_id""".stripMargin
+
   /** Decode-free dictionary isin over the encoded store: DICT chunks
     * answer in the code domain (values of non-matching chunks are never
     * materialized, see DictFilterSpec).
@@ -731,7 +750,8 @@ object Queries {
     "index_range_lookup" -> (indexRangeLookup _),
     "index_sorted_topk" -> (indexSortedTopK _),
     "index_bucket_eq" -> (indexBucketEq _),
-    "dict_isin_scan" -> (dictIsinScan _)
+    "dict_isin_scan" -> (dictIsinScan _),
+    "store_slice" -> (storeSlice _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -768,6 +788,7 @@ object Queries {
     "index_range_lookup" -> indexRangeLookupSql,
     "index_sorted_topk" -> indexSortedTopKSql,
     "index_bucket_eq" -> indexBucketEqSql,
-    "dict_isin_scan" -> dictIsinScanSql
+    "dict_isin_scan" -> dictIsinScanSql,
+    "store_slice" -> storeSliceSql
   )
 }

@@ -111,6 +111,9 @@ object Similarity {
                          nPlanes: Int = 12, dim: Int = 64, seed: Long = 7L): Unit =
     df.select(col(idCol), col(vecCol),
         bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
+      // cluster by the partition key first: one file per bucket dir, not
+      // (shuffle partitions × buckets) near-empty files
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
 
   /** ANN top-k against the bucketed store: the probe-bucket isin filter

@@ -70,6 +70,27 @@ class IndexSpec extends SparkTestBase {
     assert(viaIndex.toSeq == viaSort.toSeq)
   }
 
+  test("positional slice gathers exactly the requested rows in store order") {
+    // store order == encode input order; row_id is monotonic per input
+    // partition, so validate against a full-decode slice of the store
+    val all = graft.encode.TableCodec.decode(
+      graft.encode.MetaIndex.readBlocksByKeys(
+        spark, storeDir,
+        spark.read.parquet(storeDir).select("shard", "partId", "chunkId")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq),
+      df.schema)
+    val sliced = IndexStore.slice(spark, storeDir, df.schema, 333L, 77L)
+    assert(sliced.count() == 77)
+    assert(IndexStore.slice(spark, storeDir, df.schema, 0L, 10L).count() == 10)
+    // past-the-end slice truncates
+    val total = all.count()
+    assert(IndexStore.slice(spark, storeDir, df.schema, total - 5, 100L).count() == 5)
+    // the gathered rows are real store rows
+    val ids = sliced.select("row_id").collect().map(_.getLong(0)).toSet
+    val allIds = all.select("row_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(allIds))
+  }
+
   test("BUCKET index equality probe is exact and prunes chunks") {
     val target = df.select("commit").head().getString(0)
     val viaBucket = IndexStore.bucketProbe(spark, storeDir, df.schema, "commit", target)
