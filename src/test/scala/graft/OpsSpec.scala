@@ -46,6 +46,26 @@ class OpsSpec extends SparkTestBase {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("degenerate bucket (10k identical docs) emits O(n) pairs, not n^2") {
+    import spark.implicits._
+    // 10k identical docs all hash to ONE bucket per band: the naive
+    // self-join would build ~5*10^7 pairs per band; the representative
+    // star must emit exactly n-1 pairs total
+    val n = 10000
+    val clones = (0 until n).map(i => (i.toLong, "the same boilerplate license text repeated in every file of the corpus"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashDuplicates(clones, "doc_id", "text", threshold = 0.9)
+    val cnt = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnt == n - 1, s"representative star must link every clone to the min id once, got $cnt")
+    // all pairs anchored at the representative (min id)
+    assert(pairs.filter(col("id_a") =!= 0L).count() == 0)
+    assert(secs < 120, s"degenerate bucket must not go quadratic (took $secs s)")
+    // planted-pair recall is unchanged by the cap (buckets below the cap
+    // use the exact self-join) — asserted by the planted-pair test above
+  }
+
   test("simhash hamming distance separates dups from unrelated docs") {
     val pairs = Dedup.simhashDuplicates(nearDupDocs, "doc_id", "text", maxDist = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
