@@ -46,6 +46,25 @@ class OpsSpec extends SparkTestBase {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("iter_sorted streams rows in order; hash sample is deterministic") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // reference iter_sorted (ctable.py): ordered streaming iterator —
+    // Spark's toLocalIterator fetches partitions lazily in sort order
+    val it = docs.orderBy(desc("n_chars"), col("doc_id")).toLocalIterator().asScala
+    val streamed = it.take(5).map(_.toString).toSeq
+    val expected = docs.orderBy(desc("n_chars"), col("doc_id")).limit(5).collect().map(_.toString).toSeq
+    assert(streamed == expected)
+    // reference sample(frac): deterministic hash-mod sampling — stable
+    // across evaluations and partitionings (unlike rand()-based sample)
+    val sample = docs.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0)
+    val ids1 = sample.collect().map(_.getLong(0)).toSet
+    val ids2 = sample.repartition(7).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    val frac = ids1.size.toDouble / docs.count()
+    assert(frac > 0.02 && frac < 0.25, s"~10% expected, got $frac")
+  }
+
   test("degenerate bucket (10k identical docs) emits O(n) pairs, not n^2") {
     import spark.implicits._
     // 10k identical docs all hash to ONE bucket per band: the naive
