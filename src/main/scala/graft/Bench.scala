@@ -29,6 +29,12 @@ object Bench {
     if (master.startsWith("local-cluster")) {
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.dynamicAllocation.enabled", "false")
+        // NOTE: executor heaps cannot be pinned (-Xms is rejected in
+        // extraJavaOptions), so local-cluster executors suffer the
+        // unpinned-heap page-zeroing overhead the driver avoids
+        // (build.sbt) — local-cluster wall numbers understate the
+        // engine for that reason; see BENCH/BASELINE.md
+        .config("spark.executor.extraJavaOptions", "-XX:+AlwaysPreTouch")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
