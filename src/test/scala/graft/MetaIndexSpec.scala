@@ -92,6 +92,22 @@ class MetaIndexSpec extends SparkTestBase {
     assert(viaSql == cols.count())
   }
 
+  test("SparkSessionExtensions injection registers graft functions for SQL") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(exts)
+    org.apache.spark.sql.graftshim.ExtensionsShim.registerFunctions(
+      exts, spark.sessionState.functionRegistry)
+    val cols = blocks.flatMap(b => b.cols.map(c => (c.name, b.nRows, c.payload)))
+      .toDF("name", "nRows", "payload")
+    cols.createOrReplaceTempView("ext_cols")
+    val ok = spark.sql("SELECT count(*) FROM ext_cols WHERE graft_block_rows(payload) = nRows")
+      .head().getLong(0)
+    assert(ok == cols.count())
+    // injected with documentation
+    val desc = spark.sql("DESCRIBE FUNCTION graft_block_raw_len").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_block_raw_len"), desc)
+  }
+
   test("RatioAgg UDAF computes global compression ratio") {
     val pairs = blocks.flatMap(_.cols.map(c => (c.nBytes, c.cBytes)))
     val ratio = pairs.select(GraftFunctions.RatioAgg.toColumn).head()
