@@ -122,6 +122,29 @@ object Queries {
       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi/anti joins (reference-free; Spark-relational): customers with
+    * at least one URGENT order vs customers with no orders at all. The
+    * fact side shuffles on its key once; the dim side is the probe.
+    */
+  def q19SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val semi = customer.join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+      customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_urgent_customers"))
+    val anti = customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orderless_customers"))
+    semi.crossJoin(anti)
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer c WHERE EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |       AND o.o_orderpriority = '1-URGENT')) AS n_urgent_customers,
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_orderless_customers""".stripMargin
+
   /** Window prefix-scan (the reference's only window op:
     * cumulative_sum, ndarray.py:638).
     */
@@ -728,6 +751,7 @@ object Queries {
     "q16_json" -> (q16Json _),
     "q17_time_window" -> (q17TimeWindow _),
     "q18_math" -> (q18Math _),
+    "q19_semi_anti" -> (q19SemiAnti _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -773,6 +797,7 @@ object Queries {
     "q16_json" -> q16Sql,
     "q17_time_window" -> q17Sql,
     "q18_math" -> q18Sql,
+    "q19_semi_anti" -> q19Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
