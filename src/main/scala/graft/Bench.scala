@@ -108,7 +108,7 @@ object Bench {
       f"taskCpu=${cpuNs / 1e9}%.1fs tasks=$nTasks par=${runMs / 1000.0 / encSecA1}%.1f")
     val blocksPath = s"/tmp/graft-bench/blocks-$nRows-$nParts-${spark.sparkContext.defaultParallelism}"
     val (_, encSecB) = time {
-      TableCodec.encode(corpus).write.mode("overwrite").parquet(blocksPath)
+      TableCodec.encode(corpus, chunkBytes = chunkBytes).write.mode("overwrite").parquet(blocksPath)
     }
     // encSecB includes the parquet write of the encoded blocks; the
     // compute-only number is encSecA

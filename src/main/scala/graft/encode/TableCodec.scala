@@ -517,6 +517,17 @@ object ArrayPack {
   }
 
   def pack(ad: ArrayData, et: DataType): Array[Byte] = {
+    // fail loudly on null ELEMENTS: toFloatArray on an UnsafeArrayData
+    // would silently read a null slot as 0.0 (corruption the digest
+    // could not catch, since it is computed post-pack)
+    var i = 0
+    val n = ad.numElements()
+    while (i < n) {
+      if (ad.isNullAt(i))
+        throw new IllegalArgumentException(
+          "null array elements are not supported by the graft codec (top-level null arrays are)")
+      i += 1
+    }
     val bb = ByteBuffer.allocate(ad.numElements() * widthOf(et)).order(ByteOrder.LITTLE_ENDIAN)
     et match {
       case FloatType => bb.asFloatBuffer().put(ad.toFloatArray())

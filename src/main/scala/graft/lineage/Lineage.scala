@@ -81,7 +81,10 @@ object Lineage {
     // append and its manifest append leaves committed blocks with no
     // manifest row. Re-encoding those shards would duplicate rows, so on
     // resume drop any partition dirs of still-pending shards first.
-    if (done.nonEmpty && pending.nonEmpty) {
+    // (Unconditional: a crash in the FIRST batch's window leaves data
+    // with an EMPTY manifest — on a truly fresh run the dirs simply
+    // don't exist and the delete is a no-op.)
+    if (pending.nonEmpty) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
       pending.foreach { sh =>
@@ -200,6 +203,7 @@ object Lineage {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    dropIndexes(spark, outDir)
     deleted
   }
 
@@ -210,7 +214,12 @@ object Lineage {
     * atomically replace those shard partitions. NULL-valued predicates
     * leave the row unchanged (three-valued logic).
     *
-    * @param set column name → new-value expression (evaluated on the row)
+    * @param set    column name → new-value expression (evaluated on the row)
+    * @param idCols the store's identity columns (as passed to
+    *               encodeResumable) — SET may not target them, because a
+    *               row's shard is its identity hash and an in-place
+    *               rewrite would strand the row in the wrong shard,
+    *               breaking upsert's shard-scoped key matching
     * @return number of rows updated
     */
   def updateWhere(
@@ -219,9 +228,13 @@ object Lineage {
       schema: org.apache.spark.sql.types.StructType,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      chunkRows: Int = TableCodec.CHUNK_ROWS
+      chunkRows: Int = TableCodec.CHUNK_ROWS,
+      idCols: Seq[String] = Nil
   ): Long = {
     require(set.keys.forall(schema.fieldNames.contains), s"unknown SET columns: ${set.keys}")
+    require(set.keys.forall(!idCols.contains(_)),
+      s"SET may not target identity columns ${set.keys.filter(idCols.contains)} — " +
+        "delete + re-append instead (the shard is the identity hash)")
     val matched = coalesce(predicate, lit(false))
     val hits = TableCodec.decode(readBlocks(spark, outDir), schema, shardColName = Some(SHARD_COL))
       .groupBy(col(SHARD_COL))
@@ -246,6 +259,7 @@ object Lineage {
     withDynamicOverwrite(spark) {
       reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
     }
+    dropIndexes(spark, outDir)
     updated
   }
 
@@ -291,6 +305,7 @@ object Lineage {
     withDynamicOverwrite(spark) {
       reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
     }
+    dropIndexes(spark, outDir)
     val afterRows = metaRows()
     val replaced = oldRows + newCount - afterRows
     (replaced, newCount - replaced)
@@ -313,6 +328,17 @@ object Lineage {
       .map(r => ShardManifest(r.getInt(0), -1, r.getLong(1), r.getLong(2), r.getLong(3), 0L, now))
     spark.createDataset(stats.toSeq)(Encoders.product[ShardManifest])
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(outDir))
+  }
+
+  /** Secondary indexes address rows by (shard, partId, chunkId, pos) —
+    * any copy-on-write rewrite invalidates them. Drop the index dir so
+    * the Planner falls back to zone scans until `create*` rebuilds
+    * (the reference does the same: mutations mark indexes stale).
+    */
+  private def dropIndexes(spark: SparkSession, outDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {

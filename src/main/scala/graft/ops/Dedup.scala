@@ -103,6 +103,16 @@ object Dedup {
     * construction — it is broadcast, so the banded stream is never
     * re-shuffled for the cap.
     *
+    * APPROXIMATION (documented tradeoff): inside an oversized bucket,
+    * a pair whose ONLY colliding band is that bucket and which is
+    * near-duplicate to each other but NOT to the representative is no
+    * longer emitted — the exact pigeonhole guarantee holds only for
+    * buckets under the cap. This is the standard cap semantics for
+    * web-scale near-dedup: oversized buckets are dominated by exact
+    * boilerplate cliques (run exact dedup first), and `bucketCap` can
+    * be raised where the exact guarantee matters more than the
+    * worst-case join size.
+    *
     * `banded` must have columns (idCol, payload, band, bucket);
     * `measure` is an expression over columns `pay_a` / `pay_b` (the two
     * payloads of a pair) computing the pair score.

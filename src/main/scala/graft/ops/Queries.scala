@@ -669,12 +669,16 @@ object Queries {
       |WHERE doc_id BETWEEN 200 AND 449 ORDER BY doc_id""".stripMargin
 
   /** sort_by served from the FULL index (reference ctable.py:11812):
-    * order the narrow index rows, gather exactly k wide rows.
+    * order the narrow index rows, gather exactly k wide rows. Gathers
+    * k+slack so a key tie exactly at the boundary resolves to the same
+    * rows as the oracle's (n_chars, doc_id) tie-break regardless of
+    * store order, then re-limits after the deterministic sort.
     */
   def indexSortedTopK(s: SparkSession, dir: String): DataFrame =
-    graft.index.IndexStore.sortedTopK(s, docStore(s, dir), docsSchema(s, dir), "n_chars", 50, ascending = false)
+    graft.index.IndexStore.sortedTopK(s, docStore(s, dir), docsSchema(s, dir), "n_chars", 80, ascending = false)
       .select("doc_id", "n_chars")
       .orderBy(desc("n_chars"), col("doc_id"))
+      .limit(50)
 
   val indexSortedTopKSql: String =
     """SELECT doc_id, n_chars FROM documents
