@@ -1,7 +1,7 @@
 package graft.encode
 
 import graft.lineage.Lineage
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,14 +13,14 @@ import org.apache.spark.sql.types._
   * indexes (python-blosc2 indexing.py:44-57) and its candidate-chunk
   * pruning (`_prune_chunks`, lazyexpr.py:1737-1744).
   *
-  * Scale design: the prune pass reads the store parquet under an
-  * EXPLICIT metadata-only schema — the `cols` struct is declared with
-  * just (name, dt, minKey, maxKey), so the parquet reader never maps
-  * the multi-MB `payload` (or `sha`) pages at all; a selective point
-  * query over 100 TB reads O(chunks) tiny metadata rows. Survivor
-  * chunks are then fetched with a pushable key predicate (shard is a
-  * partition dir → directory pruning; partId/chunkId hit row-group
-  * stats), and only those payloads are decoded.
+  * Scale design: with the v2 store layout (StoreLayout — one parquet
+  * struct column per table column) the prune pass selects ONLY the
+  * zone-metadata leaves (`g_<col>.minKey` etc.), so the parquet reader
+  * never maps any payload page of ANY column; a selective point query
+  * over 100 TB reads O(chunks) tiny metadata rows. Survivor chunks are
+  * then fetched with a pushable key predicate (shard is a partition
+  * dir → directory pruning; partId/chunkId hit row-group stats), and
+  * only those payloads are decoded.
   *
   * Zone-key semantics (must match ColBuilder): string keys compare in
   * UTF-8 byte order (Spark string compare is UTF8String binary order);
@@ -36,28 +36,31 @@ object MetaIndex {
     */
   val MAX_PUSHDOWN_KEYS = 1024
 
-  /** Schema for the metadata-only pass: note NO payload, NO sha. */
-  private val metaReadSchema = StructType(Seq(
-    StructField("shard", IntegerType),
-    StructField("partId", IntegerType),
-    StructField("chunkId", LongType),
-    StructField("nRows", IntegerType),
-    StructField("cols", ArrayType(StructType(Seq(
-      StructField("name", StringType),
-      StructField("dt", StringType),
-      StructField("minKey", StringType),
-      StructField("maxKey", StringType)))))))
-
-  /** One row per (chunk, column) with zone bounds — payloads are never
-    * in the scan's ReadSchema (asserted in MetaIndexSpec).
+  /** One row per (chunk, column) with zone bounds — payload/sha leaves
+    * are never in the scan's ReadSchema (asserted in MetaIndexSpec).
     */
-  def zoneMeta(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(metaReadSchema).parquet(storeDir)
-      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
-        explode(col("cols")).as("c"))
+  def zoneMeta(spark: SparkSession, storeDir: String): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    val fields = StoreLayout.storeColFields(df.schema)
+    df.select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        explode(array(fields.map(f => struct(
+          col(s"$f.name").as("name"), col(s"$f.dt").as("dt"),
+          col(s"$f.minKey").as("minKey"), col(s"$f.maxKey").as("maxKey"))): _*)).as("c"))
       .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
         col("c.name").as("name"), col("c.dt").as("dt"),
         col("c.minKey").as("minKey"), col("c.maxKey").as("maxKey"))
+  }
+
+  /** Zone metadata of ONE column — the common prune pass: four tiny
+    * leaf columns of one struct in the scan, nothing else.
+    */
+  def zoneMetaFor(spark: SparkSession, storeDir: String, colName: String): DataFrame = {
+    val f = StoreLayout.fieldName(colName)
+    spark.read.parquet(storeDir)
+      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        col(s"$f.name").as("name"), col(s"$f.dt").as("dt"),
+        col(s"$f.minKey").as("minKey"), col(s"$f.maxKey").as("maxKey"))
+  }
 
   /** Column types whose zone keys compare numerically. */
   private val numericDts = Seq(
@@ -65,7 +68,9 @@ object MetaIndex {
     "double", "float", "date", "timestamp", "timestamp_ntz")
 
   /** zone [minKey,maxKey] intersects [lo,hi]? (Catalyst expression over
-    * the zoneMeta columns; dt-aware compare.)
+    * the zoneMeta columns; dt-aware compare.) Long keys are compared as
+    * doubles: rounding is monotonic, so drift can only ADMIT extra
+    * chunks near 2^53 boundaries, never wrongly prune.
     */
   def intersectsExpr(lo: String, hi: String): Column = {
     val unbounded = col("minKey") === "" && col("maxKey") === ""
@@ -83,74 +88,82 @@ object MetaIndex {
     */
   def candidateKeys(spark: SparkSession, storeDir: String, colName: String,
                     lo: String, hi: String): DataFrame =
-    zoneMeta(spark, storeDir)
-      .filter(col("name") === colName && intersectsExpr(lo, hi))
+    zoneMetaFor(spark, storeDir, colName)
+      .filter(intersectsExpr(lo, hi))
       .select("shard", "partId", "chunkId")
 
   /** Read only the surviving blocks. Few survivors → OR-of-ANDs pushed
     * into the parquet scan (shard prunes partition dirs, partId/chunkId
     * prune row groups, so pruned payload pages are never read);
     * many survivors → left-semi join (the query reads most of the store
-    * anyway).
+    * anyway). `names` restricts the columns read (null = all).
     */
   def readCandidates(spark: SparkSession, storeDir: String, colName: String,
-                     lo: String, hi: String): Dataset[EncodedBlock] = {
-    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
+                     lo: String, hi: String, names: Seq[String] = null): Dataset[EncodedBlock] = {
     val keys = candidateKeys(spark, storeDir, colName, lo, hi)
     val collected = keys.limit(MAX_PUSHDOWN_KEYS + 1).collect()
     if (collected.length <= MAX_PUSHDOWN_KEYS)
-      readBlocksByKeys(spark, storeDir,
-        collected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
-    else
-      spark.read.parquet(storeDir)
-        .join(keys, Seq("shard", "partId", "chunkId"), "left_semi")
-        .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+      StoreLayout.readBlocksByKeys(spark, storeDir,
+        collected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq, names)
+    else {
+      val df = spark.read.parquet(storeDir)
+      val fields = Option(names).map(_.map(StoreLayout.fieldName))
+        .getOrElse(StoreLayout.storeColFields(df.schema))
+      StoreLayout.assemble(
+        df.join(keys, Seq("shard", "partId", "chunkId"), "left_semi"), fields)
+    }
   }
 
   /** Read exactly these chunks, with the key predicate pushed into the
-    * parquet scan (shard → partition-dir pruning when the store is
-    * partitioned; partId/chunkId → row-group stats).
+    * parquet scan. Kept as the historical entry point; delegates to
+    * StoreLayout.
     */
   def readBlocksByKeys(spark: SparkSession, storeDir: String,
-                       keys: Seq[(Int, Int, Long)]): Dataset[EncodedBlock] = {
-    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
-    val full = spark.read.parquet(storeDir)
-    val filtered =
-      if (keys.isEmpty) full.filter(lit(false))
-      else full.filter(keys.map { case (s, p, c) =>
-        col("shard") === s && col("partId") === p && col("chunkId") === c
-      }.reduce(_ || _))
-    filtered.select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+                       keys: Seq[(Int, Int, Long)], names: Seq[String] = null): Dataset[EncodedBlock] =
+    StoreLayout.readBlocksByKeys(spark, storeDir, keys, names)
+
+  /** Exact range predicate on the ORIGINAL column for bounds given in
+    * the zone-key domain (values for long/string columns, micros for
+    * timestamps, days for dates, unscaled for decimals).
+    */
+  def exactRange(schema: StructType, colName: String, lo: String, hi: String): Column = {
+    def bound(v: String): Column = domainLit(schema(colName).dataType, v)
+    col(colName) >= bound(lo) && col(colName) <= bound(hi)
+  }
+
+  /** Exact equality predicate in the same zone-key domain. */
+  def exactEq(schema: StructType, colName: String, value: String): Column =
+    col(colName) === domainLit(schema(colName).dataType, value)
+
+  /** A literal of `dt` from its zone-key-domain string form. */
+  def domainLit(dt: DataType, v: String): Column = dt match {
+    case StringType => lit(v)
+    case LongType | IntegerType | ShortType | ByteType => lit(v.toLong).cast(dt)
+    case DoubleType | FloatType => lit(v.toDouble).cast(dt)
+    case BooleanType => lit(v.toLong != 0L)
+    case TimestampType | TimestampNTZType => timestamp_micros(lit(v.toLong)).cast(dt)
+    case DateType => date_from_unix_date(lit(v.toInt))
+    case d: DecimalType => // v is the unscaled integer
+      lit(new java.math.BigDecimal(new java.math.BigInteger(v), d.scale)).cast(d)
+    case t => throw new IllegalArgumentException(s"range/eq probe on $t")
   }
 
   /** Point/range lookup over the encoded store: metadata prune → fetch
     * survivors (pushed keys) → decode → exact filter. `lo`/`hi` are in
-    * the zone-key domain of the column (values for long/string columns,
-    * micros for timestamps, days for dates).
+    * the zone-key domain of the column.
     */
   def lookup(spark: SparkSession, storeDir: String, schema: StructType,
-             colName: String, lo: String, hi: String): DataFrame = {
-    val dt = schema(colName).dataType
-    val exact = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType =>
-        col(colName) >= lit(lo).cast(dt) && col(colName) <= lit(hi).cast(dt)
-      case StringType =>
-        col(colName) >= lit(lo) && col(colName) <= lit(hi)
-      case TimestampType => // lo/hi are micros
-        col(colName) >= timestamp_micros(lit(lo.toLong)) && col(colName) <= timestamp_micros(lit(hi.toLong))
-      case DateType => // lo/hi are epoch days
-        col(colName) >= date_from_unix_date(lit(lo.toInt)) && col(colName) <= date_from_unix_date(lit(hi.toInt))
-      case t => throw new IllegalArgumentException(s"lookup on $t")
-    }
-    TableCodec.decode(readCandidates(spark, storeDir, colName, lo, hi), schema).filter(exact)
-  }
+             colName: String, lo: String, hi: String): DataFrame =
+    TableCodec.decode(
+      readCandidates(spark, storeDir, colName, lo, hi, schema.fieldNames.toSeq), schema)
+      .filter(exactRange(schema, colName, lo, hi))
 
   /** Pruning stats for a predicate: (candidate chunks, total chunks) —
     * computed entirely from metadata.
     */
   def pruningStats(spark: SparkSession, storeDir: String, colName: String,
                    lo: String, hi: String): (Long, Long) = {
-    val meta = zoneMeta(spark, storeDir).filter(col("name") === colName).cache()
+    val meta = zoneMetaFor(spark, storeDir, colName).cache()
     try {
       val total = meta.count()
       val cand = meta.filter(intersectsExpr(lo, hi)).count()
@@ -164,7 +177,6 @@ object MetaIndex {
     */
   def candidateBlocks(blocks: Dataset[EncodedBlock], colName: String,
                       lo: String, hi: String): Dataset[EncodedBlock] = {
-    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
     blocks.filter { b =>
       b.cols.find(_.name == colName).forall { c =>
         val numeric = numericDts.contains(c.dt) || c.dt.startsWith("decimal")

@@ -1,0 +1,153 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Persisted layout of the encoded block store — v2: one parquet row per
+  * chunk, ONE TOP-LEVEL PARQUET STRUCT COLUMN PER TABLE COLUMN.
+  *
+  * v1 packed all columns' payloads into a single `cols:
+  * array<struct<..., payload>>` column, so parquet could not prune
+  * sibling columns' payload pages: every single-column operation (dict
+  * filter, index build, bucket probe) read every payload byte of the
+  * store. v2 mirrors the reference's per-column containers
+  * (python-blosc2 ctable.py:4108 `self._cols` — a dict of per-column
+  * SChunks; one container's bytes per column) using parquet's own
+  * columnar layout: each table column's chunk struct (`g_<name>`) is its
+  * own set of leaf column chunks in the file, so a scan that selects
+  * `g_lang` never reads a page of `g_text.payload`. Column-selective IO
+  * is asserted byte-level in StoreLayoutSpec (SparkListenerTaskEnd
+  * bytesRead).
+  *
+  * Full-width reads reassemble the in-flight `EncodedBlock` with a
+  * narrow projection (`array(g_a, g_b, ...)`) — no shuffle, decode
+  * stays a single mapPartitions stage.
+  */
+object StoreLayout {
+
+  val KEY_COLS: Seq[String] = Seq("shard", "partId", "chunkId", "nRows")
+
+  private val COL_STRUCT_FIELDS =
+    Set("name", "dt", "plan", "nBytes", "cBytes", "minKey", "maxKey", "sha", "payload")
+
+  /** Parquet field carrying column `name`'s chunks. The `g_` prefix
+    * keeps user columns from colliding with the chunk-key columns.
+    */
+  def fieldName(colName: String): String =
+    "g_" + colName.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Store fields that are per-column chunk structs (discovery for
+    * callers that do not carry the table schema, e.g. verify/stats).
+    */
+  def storeColFields(schema: StructType): Seq[String] = schema.fields.collect {
+    case StructField(n, st: StructType, _, _) if st.fieldNames.toSet == COL_STRUCT_FIELDS => n
+  }.toSeq
+
+  /** True if the store was written by a batch-partitioned streaming
+    * sink (`batch=<id>` dirs): (shard, partId, chunkId) is then NOT
+    * unique and keyed operations (indexes, gathers, slices) must refuse
+    * it — see StreamingEncode.compact.
+    */
+  def hasBatchPartitions(schema: StructType): Boolean = schema.fieldNames.contains("batch")
+
+  def requireNoBatch(schema: StructType, op: String): Unit =
+    require(!hasBatchPartitions(schema),
+      s"$op addresses chunks by (shard, partId, chunkId), which is not unique across " +
+        "streaming batch= partitions — run StreamingEncode.compact first")
+
+  /** Pivot in-flight blocks to the persisted layout. `names` must be
+    * the encoded columns in block order (= the encoded DataFrame's
+    * field order).
+    */
+  def toStoreRows(blocks: Dataset[EncodedBlock], names: Seq[String]): DataFrame = {
+    val fns = names.map(fieldName)
+    require(fns.distinct.size == fns.size,
+      s"column names collide after parquet-field sanitization: $names")
+    blocks.toDF().select(
+      KEY_COLS.map(col) ++ names.zipWithIndex.map { case (n, i) =>
+        col("cols").getItem(i).as(fieldName(n))
+      }: _*)
+  }
+
+  /** Write blocks in the v2 layout, partitioned by lineage shard. */
+  def write(blocks: Dataset[EncodedBlock], names: Seq[String], outDir: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    toStoreRows(blocks, names).write.mode(mode).partitionBy("shard").parquet(outDir)
+
+  /** Store rows with only `names`' struct columns in the scan schema —
+    * parquet never reads sibling columns' payload pages. `names = null`
+    * selects every chunk-struct column found in the store schema.
+    */
+  def readStoreRows(spark: SparkSession, storeDir: String, names: Seq[String] = null): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    val sel = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
+    df.select(KEY_COLS.map(col) ++ sel.map(col): _*)
+  }
+
+  /** Reassemble `EncodedBlock`s from v2 store rows (narrow projection,
+    * no shuffle). `fieldCols` are store field names (g_*).
+    */
+  def assemble(df: DataFrame, fieldCols: Seq[String]): Dataset[EncodedBlock] = {
+    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
+    df.select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+      array(fieldCols.map(col): _*).as("cols")).as[EncodedBlock]
+  }
+
+  /** Blocks carrying only `names`' columns (column-selective IO);
+    * `names = null` → all columns, `shards` → partition-dir pruning.
+    */
+  def readBlocks(spark: SparkSession, storeDir: String, names: Seq[String] = null,
+                 shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] = {
+    val df = spark.read.parquet(storeDir)
+    val fields = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
+    val filtered = shards match {
+      case Some(s) => df.filter(col("shard").isin(s.map(Integer.valueOf): _*))
+      case None => df
+    }
+    assemble(filtered, fields)
+  }
+
+  /** Read exactly these chunks with the key predicate pushed into the
+    * parquet scan (shard → partition-dir pruning, partId/chunkId →
+    * row-group stats), carrying only `names`' columns.
+    */
+  def readBlocksByKeys(spark: SparkSession, storeDir: String, keys: Seq[(Int, Int, Long)],
+                       names: Seq[String] = null): Dataset[EncodedBlock] = {
+    val df = spark.read.parquet(storeDir)
+    requireNoBatch(df.schema, "readBlocksByKeys")
+    val fields = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
+    val filtered =
+      if (keys.isEmpty) df.filter(lit(false))
+      else df.filter(keys.map { case (s, p, c) =>
+        col("shard") === s && col("partId") === p && col("chunkId") === c
+      }.reduce(_ || _))
+    assemble(filtered, fields)
+  }
+
+  /** Per-chunk (nBytes, cBytes) totals across all columns — metadata
+    * leaves only, payload pages never read.
+    */
+  def chunkStats(spark: SparkSession, storeDir: String): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    val fields = storeColFields(df.schema)
+    df.select(col("shard"), col("nRows"),
+      fields.map(f => col(s"$f.nBytes")).reduce(_ + _).as("nBytes"),
+      fields.map(f => col(s"$f.cBytes")).reduce(_ + _).as("cBytes"))
+  }
+
+  /** One row per (chunk, column) of codec bookkeeping (name, plan,
+    * sizes) — metadata-only.
+    */
+  def colStats(spark: SparkSession, storeDir: String): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    val fields = storeColFields(df.schema)
+    df.select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+      explode(array(fields.map(f => struct(
+        col(s"$f.name").as("col"), col(s"$f.plan").as("plan"),
+        col(s"$f.nBytes").as("nBytes"), col(s"$f.cBytes").as("cBytes"))): _*)).as("c"))
+      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        col("c.col").as("col"), col("c.plan").as("plan"),
+        col("c.nBytes").as("nBytes"), col("c.cBytes").as("cBytes"))
+  }
+}

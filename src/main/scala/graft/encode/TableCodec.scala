@@ -52,8 +52,16 @@ object TableCodec {
 
   // ---------------------------------------------------------------- encode
 
+  /** The column names the encoder will emit for `schema` (identity for
+    * flat schemas; dotted leaf names once structs are flattened) —
+    * what StoreLayout.write needs as its `names`.
+    */
+  def encodedNames(schema: StructType): Seq[String] =
+    (if (Nested.hasNested(schema)) Nested.flatSchema(schema) else schema).fieldNames.toSeq
+
   /** Encode every column of df. `shardCol` (if set) names an int column
     * carrying the lineage shard id; it is consumed, not encoded.
+    * Struct columns are flattened to dotted leaves first (Nested).
     */
   def encode(
       df: DataFrame,
@@ -61,11 +69,12 @@ object TableCodec {
       chunkBytes: Long = CHUNK_BYTES,
       shardCol: Option[String] = None
   ): Dataset[EncodedBlock] = {
-    val spark = df.sparkSession
-    val schema = df.schema
+    val work = if (Nested.hasNested(df.schema)) Nested.flatten(df) else df
+    val spark = work.sparkSession
+    val schema = work.schema
     val shardIdx = shardCol.map(schema.fieldIndex)
     val dataFields = schema.fields.zipWithIndex.filter { case (_, i) => !shardIdx.contains(i) }
-    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+    val rdd = work.queryExecution.toRdd.mapPartitions { rows =>
       encodePartition(rows, dataFields, shardIdx, chunkRows, chunkBytes)
     }
     spark.createDataset(rdd)
@@ -162,6 +171,15 @@ object TableCodec {
     */
   def decode(blocks: Dataset[EncodedBlock], schema: StructType,
              shardColName: Option[String] = None): DataFrame = {
+    if (Nested.hasNested(schema)) {
+      val flatDf = decodeFlat(blocks, Nested.flatSchema(schema), shardColName)
+      return Nested.reassemble(flatDf, schema, extraCols = shardColName.toSeq)
+    }
+    decodeFlat(blocks, schema, shardColName)
+  }
+
+  private def decodeFlat(blocks: Dataset[EncodedBlock], schema: StructType,
+                         shardColName: Option[String]): DataFrame = {
     val spark = blocks.sparkSession
     val names = schema.fieldNames
     val dts = schema.fields.map(_.dataType)
@@ -222,6 +240,7 @@ object TableCodec {
     case (v: BinVec, BinaryType) => i => v.values(i)
     case (v: BinVec, d: DecimalType) =>
       i => Decimal(new java.math.BigDecimal(new java.math.BigInteger(v.values(i)), d.scale))
+    case (v: BinVec, ArrayType(StringType, _)) => i => ArrayPack.unpackStrings(v.values(i))
     case (v: BinVec, ArrayType(et, _)) =>
       val w = ArrayPack.widthOf(et)
       et match {
@@ -298,6 +317,10 @@ object ColBuilder {
     case d: DecimalType => new BinBuilder(BKind.DECIMAL, precision = d.precision, scale = d.scale)
     case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType), _) =>
       new BinBuilder(BKind.ARRAY, elemType = et) // packed fixed-width → byte-plane SHUFFLE
+    case ArrayType(StringType, _) =>
+      // varint lengths + element blobs, one binary per array value (the
+      // reference's utf8 offsets+bytes layout, _utf8_array.py:9-31)
+      new BinBuilder(BKind.ARRAY, elemType = StringType)
     case t => throw new IllegalArgumentException(s"unsupported column type $t")
   }
 
@@ -468,7 +491,9 @@ object ColBuilder {
           case BKind.BINARY => row.getBinary(idx)
           case BKind.DECIMAL =>
             row.getDecimal(idx, precision, scale).toJavaBigDecimal.unscaledValue.toByteArray
-          case BKind.ARRAY => ArrayPack.pack(row.getArray(idx), elemType)
+          case BKind.ARRAY =>
+            if (elemType == StringType) ArrayPack.packStrings(row.getArray(idx))
+            else ArrayPack.pack(row.getArray(idx), elemType)
           case k => throw new IllegalStateException(s"BKind $k")
         }
         values(n) = v
@@ -490,7 +515,8 @@ object ColBuilder {
         while (i < n) { a(i) = vals(i) != null; i += 1 }
         a
       }
-      BinVec(vals, validity, if (kind == BKind.ARRAY) ArrayPack.widthOf(elemType) else 0)
+      BinVec(vals, validity,
+        if (kind == BKind.ARRAY && elemType != StringType) ArrayPack.widthOf(elemType) else 0)
     }
     def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = !zoneCapable }
     def rawBytes: Long = bytes
@@ -537,6 +563,44 @@ object ArrayPack {
       case t => throw new IllegalArgumentException(s"$t")
     }
     bb.array()
+  }
+
+  /** array<string> layout: varint count, then per element one flag
+    * byte (0 = null element, 1 = present) followed by varint length +
+    * UTF-8 bytes. Unlike the fixed-width numeric path, null ELEMENTS
+    * are representable (and roundtripped).
+    */
+  def packStrings(ad: ArrayData): Array[Byte] = {
+    val n = ad.numElements()
+    val w = new graft.core.Bytes.Writer(32 + n * 8)
+    w.putVarInt(n)
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i)) w.putByte(0)
+      else {
+        val bytes = ad.getUTF8String(i).getBytes
+        w.putByte(1)
+        w.putVarInt(bytes.length)
+        w.putBytes(bytes)
+      }
+      i += 1
+    }
+    w.result()
+  }
+
+  def unpackStrings(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val r = new graft.core.Bytes.Reader(b)
+    val n = r.getVarInt()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (r.getByte() == 1) {
+        val len = r.getVarInt()
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getBytes(len))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def unpackFloats(b: Array[Byte]): Array[Float] = {

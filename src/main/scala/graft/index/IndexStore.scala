@@ -1,7 +1,8 @@
 package graft.index
 
-import graft.encode.{EncodedBlock, MetaIndex, TableCodec}
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import graft.encode.{MetaIndex, StoreLayout, TableCodec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.InternalRowShim
 import org.apache.spark.sql.types._
@@ -24,16 +25,19 @@ import org.apache.spark.sql.types._
   * tiny, for equality probes on high-cardinality columns where a FULL
   * index is not worth its bytes (reference BUCKET kind).
   *
-  * Scale notes: the index build is one shuffle (range partition of
-  * narrow (key, pos) rows); probes read O(log) row groups of the index
-  * + O(selected) chunks of the store. Gathered positions flow through a
-  * broadcast (bounded by Planner.MAX_GATHER_ROWS — beyond that a scan
-  * wins anyway, see Planner).
+  * Scale notes: with the v2 store layout the index build reads ONLY the
+  * indexed column's bytes (parquet leaf pruning — asserted in
+  * StoreLayoutSpec); the build itself is one shuffle (range partition
+  * of narrow (key, pos) rows); probes read O(log) row groups of the
+  * index + O(selected) chunks of the store. Gathered positions flow
+  * through a broadcast (bounded by Planner.MAX_GATHER_ROWS — beyond
+  * that a scan wins anyway, see Planner).
   */
 object IndexStore {
 
   def fullPath(storeDir: String, colName: String) = s"$storeDir/_index/full/$colName"
   def bucketPath(storeDir: String, colName: String) = s"$storeDir/_index/bucket/$colName"
+  def offsetsPath(storeDir: String) = s"$storeDir/_offsets"
 
   final case class LongEntry(key: Long, shard: Int, partId: Int, chunkId: Long, pos: Int)
   final case class StrEntry(key: String, shard: Int, partId: Int, chunkId: Long, pos: Int)
@@ -49,18 +53,18 @@ object IndexStore {
     exists(spark, bucketPath(storeDir, colName))
 
   /** Build (or rebuild) the FULL index for `colName`. One pass over the
-    * store decoding ONLY the indexed column's payloads; NULL keys are
-    * not indexed (IS NULL probes fall back to scan, standard semantics).
+    * store reading ONLY the indexed column (v2 layout → sibling
+    * columns' payload pages are never read); NULL keys are not indexed
+    * (IS NULL probes fall back to scan, standard semantics).
     */
   def createFull(spark: SparkSession, storeDir: String, schema: StructType, colName: String): Unit = {
     import graft.codecs.{BinVec, DoubleVec, LongVec}
-    implicit val encB: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
-    val blocks = spark.read.parquet(storeDir)
-      .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "createFull")
+    val blocks = StoreLayout.readBlocks(spark, storeDir, Seq(colName))
     val out = fullPath(storeDir, colName)
     val dt = schema(colName).dataType
 
-    def entries[T: scala.reflect.ClassTag](f: (graft.codecs.ColVec, EncodedBlock) => Iterator[T]) =
+    def entries[T: scala.reflect.ClassTag](f: (graft.codecs.ColVec, graft.encode.EncodedBlock) => Iterator[T]) =
       blocks.rdd.flatMap { b =>
         val c = b.cols.find(_.name == colName)
           .getOrElse(throw new IllegalArgumentException(s"no column $colName in block"))
@@ -74,7 +78,7 @@ object IndexStore {
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             StrEntry(new String(v.values(i), java.nio.charset.StandardCharsets.UTF_8), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(Encoders.product[StrEntry])
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[StrEntry])
           .repartitionByRange(col("key")).sortWithinPartitions("key")
           .write.mode("overwrite").parquet(out)
       case DoubleType | FloatType =>
@@ -83,7 +87,7 @@ object IndexStore {
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             DblEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(Encoders.product[DblEntry])
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[DblEntry])
           .repartitionByRange(col("key")).sortWithinPartitions("key")
           .write.mode("overwrite").parquet(out)
       case _ => // every long-backed type (int/long/ts/date/bool/short/byte/dec<=18)
@@ -92,19 +96,20 @@ object IndexStore {
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             LongEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(Encoders.product[LongEntry])
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[LongEntry])
           .repartitionByRange(col("key")).sortWithinPartitions("key")
           .write.mode("overwrite").parquet(out)
     }
   }
 
-  /** Build the BUCKET index: distinct (bucket, chunk) pairs. */
+  /** Build the BUCKET index: distinct (bucket, chunk) pairs, reading
+    * only the indexed column's bytes.
+    */
   def createBucket(spark: SparkSession, storeDir: String, schema: StructType,
                    colName: String, nBuckets: Int = 1 << 14): Unit = {
     import graft.codecs.{BinVec, LongVec}
-    implicit val encB: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
-    val blocks = spark.read.parquet(storeDir)
-      .select("shard", "partId", "chunkId", "nRows", "cols").as[EncodedBlock]
+    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "createBucket")
+    val blocks = StoreLayout.readBlocks(spark, storeDir, Seq(colName))
     val rdd = blocks.rdd.flatMap { b =>
       val c = b.cols.find(_.name == colName).get
       val vec = TableCodec.decodeColumn(c)
@@ -120,7 +125,9 @@ object IndexStore {
       }
       buckets.iterator.map(bk => (bk, b.shard, b.partId, b.chunkId))
     }
-    spark.createDataset(rdd)(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong))
       .toDF("bucket", "shard", "partId", "chunkId")
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(bucketPath(storeDir, colName))
@@ -160,24 +167,28 @@ object IndexStore {
   }
 
   /** Equality probe through the BUCKET index: decode only chunks whose
-    * bucket set contains the probe's bucket, then exact-filter.
+    * bucket set contains the probe's bucket, then exact-filter. `value`
+    * is in the zone-key domain (raw string, or the long domain — micros
+    * / epoch days / unscaled decimal — for long-backed columns), the
+    * SAME domain the index build hashed, and the exact filter
+    * reconstructs the typed literal from that domain (a plain
+    * string-cast would NULL out timestamps/dates/decimals and silently
+    * return zero rows).
     */
   def bucketProbe(spark: SparkSession, storeDir: String, schema: StructType,
                   colName: String, value: String, nBuckets: Int = 1 << 14): DataFrame = {
     val bk = schema(colName).dataType match {
       case StringType => bucketOfBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8), nBuckets)
+      case DoubleType | FloatType =>
+        throw new IllegalArgumentException("bucket index does not cover floating-point columns")
       case _ => bucketOfLong(value.toLong, nBuckets)
     }
     val chunks = spark.read.parquet(bucketPath(storeDir, colName))
       .filter(col("bucket") === bk) // pushed → row-group skip
       .select("shard", "partId", "chunkId").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-    val blocks = MetaIndex.readBlocksByKeys(spark, storeDir, chunks)
-    val exact = schema(colName).dataType match {
-      case StringType => col(colName) === value
-      case dt => col(colName) === lit(value).cast(dt)
-    }
-    TableCodec.decode(blocks, schema).filter(exact)
+    val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, chunks, schema.fieldNames.toSeq)
+    TableCodec.decode(blocks, schema).filter(MetaIndex.exactEq(schema, colName, value))
   }
 
   /** Decode the given chunks and emit only the given positions. */
@@ -185,7 +196,7 @@ object IndexStore {
              posByChunk: Map[(Int, Int, Long), Array[Int]]): DataFrame = {
     val names = schema.fieldNames
     val dts = schema.fields.map(_.dataType)
-    val blocks = MetaIndex.readBlocksByKeys(spark, storeDir, posByChunk.keys.toSeq)
+    val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, posByChunk.keys.toSeq, names.toSeq)
     val bc = spark.sparkContext.broadcast(posByChunk)
     val rdd = blocks.rdd.mapPartitions { it =>
       it.flatMap { b =>
@@ -198,30 +209,53 @@ object IndexStore {
     InternalRowShim.createDataFrame(spark, rdd, schema)
   }
 
+  /** Persist running row offsets per chunk — a tiny metadata table
+    * (shard, partId, chunkId, nRows, startOff) beside the manifest, so
+    * positional reads never collect the full chunk listing to the
+    * driver (at 100 TB that listing is ~3M rows). Built lazily on first
+    * slice, dropped by CoW mutations (Lineage.dropDerived). The build's
+    * global running sum is one window task over O(chunks) metadata rows
+    * — executor-side, not driver memory.
+    */
+  def refreshOffsets(spark: SparkSession, storeDir: String): Unit = {
+    val w = Window.orderBy("shard", "partId", "chunkId")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spark.read.parquet(storeDir)
+      .select("shard", "partId", "chunkId", "nRows")
+      .withColumn("startOff", coalesce(sum(col("nRows").cast("long")).over(w), lit(0L)))
+      .write.mode("overwrite").parquet(offsetsPath(storeDir))
+  }
+
+  /** Chunks overlapping global row range [start, start+count) in
+    * (shard, partId, chunkId) order — O(overlap) rows collected, via a
+    * pushed range filter on the offsets table.
+    */
+  def overlapChunks(spark: SparkSession, storeDir: String,
+                    start: Long, count: Long): Array[(Int, Int, Long, Int, Long)] = {
+    if (!exists(spark, offsetsPath(storeDir))) refreshOffsets(spark, storeDir)
+    spark.read.parquet(offsetsPath(storeDir))
+      .filter(col("startOff") < start + count && col("startOff") + col("nRows") > start)
+      .select("shard", "partId", "chunkId", "nRows", "startOff")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+  }
+
   /** Positional slice / take over the store (the reference's
     * `__getitem__`/take/head/tail row addressing): global row positions
-    * in (shard, partId, chunkId) order — the store's input order. Chunk
-    * offsets come from METADATA only (one nRows row per chunk); only
-    * chunks overlapping [start, start+count) are decoded, and only the
-    * overlapping positions are gathered.
+    * in (shard, partId, chunkId) order — the store's input order. Only
+    * chunks overlapping [start, start+count) reach the driver (offsets
+    * table) or the decoder (pushed chunk keys + positional gather).
     */
   def slice(spark: SparkSession, storeDir: String, schema: StructType,
             start: Long, count: Long): DataFrame = {
-    val meta = spark.read.parquet(storeDir)
-      .select("shard", "partId", "chunkId", "nRows")
-      .orderBy("shard", "partId", "chunkId").collect()
-    var off = 0L
-    val posByChunk = scala.collection.mutable.Map[(Int, Int, Long), Array[Int]]()
-    meta.foreach { r =>
-      val n = r.getInt(3)
-      val lo = math.max(start, off)
-      val hi = math.min(start + count, off + n)
-      if (lo < hi)
-        posByChunk((r.getInt(0), r.getInt(1), r.getLong(2))) =
-          Array.range((lo - off).toInt, (hi - off).toInt)
-      off += n
-    }
-    gather(spark, storeDir, schema, posByChunk.toMap)
+    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "slice")
+    val posByChunk = overlapChunks(spark, storeDir, start, count).map {
+      case (shard, partId, chunkId, n, off) =>
+        val lo = math.max(start, off)
+        val hi = math.min(start + count, off + n)
+        (shard, partId, chunkId) -> Array.range((lo - off).toInt, (hi - off).toInt)
+    }.toMap
+    gather(spark, storeDir, schema, posByChunk)
   }
 
   /** Index-ordered top-k (the reference serves sort_by from a FULL
@@ -244,13 +278,19 @@ object IndexStore {
 
 /** Cost-model query planner over the encoded store — the analog of the
   * reference's `plan_query` (python-blosc2 indexing.py:6956) with its
-  * measured gather-vs-scan constants (ctable_indexing.py:238-242).
+  * measured gather-vs-scan constants (ctable_indexing.py:238-242), plus
+  * conjunctive multi-column planning (the reference's cross-column
+  * index refinement, ctable_indexing.py:1514-1567).
   *
   * Paths, cheapest metadata first:
   *  - FULL-index gather: decode cost ∝ chunks the index names, plus a
   *    broadcast of the matching positions — wins when selective.
   *  - zone scan: decode cost ∝ chunks whose [min,max] intersects.
   *  - full scan: everything (zone keys unbounded / no index).
+  *
+  * For AND-of-predicates, zone candidate sets are intersected across
+  * columns FIRST (metadata-only), then one FULL index (if present)
+  * refines the surviving chunks to exact positions.
   */
 object Planner {
 
@@ -267,6 +307,8 @@ object Planner {
   val GATHER_CHUNK_ADVANTAGE = 0.75
 
   final case class Choice(path: String, estRows: Long, idxChunks: Long, zoneChunks: Long, totalChunks: Long)
+
+  final case class Pred(colName: String, lo: String, hi: String)
 
   def plan(spark: SparkSession, storeDir: String, schema: StructType,
            colName: String, lo: String, hi: String): Choice = {
@@ -292,5 +334,71 @@ object Planner {
       case _ => MetaIndex.lookup(spark, storeDir, schema, colName, lo, hi)
     }
     (df, c)
+  }
+
+  /** Metadata-only intersection of zone candidate sets across the
+    * predicates' columns (each set is a narrow chunk-key frame; the
+    * joins never touch a payload leaf).
+    */
+  def candidatesAnd(spark: SparkSession, storeDir: String, preds: Seq[Pred]): DataFrame =
+    preds.map(p => MetaIndex.candidateKeys(spark, storeDir, p.colName, p.lo, p.hi))
+      .reduce((a, b) => a.join(b, Seq("shard", "partId", "chunkId")))
+
+  /** Plan an AND-of-range-predicates query: intersected zone chunk
+    * count plus, per predicate, the single-column candidate count —
+    * the evidence that cross-column intersection prunes harder than
+    * any one column (asserted in IndexSpec).
+    */
+  def planAnd(spark: SparkSession, storeDir: String, preds: Seq[Pred]): (Long, Seq[Long]) = {
+    val single = preds.map(p =>
+      MetaIndex.candidateKeys(spark, storeDir, p.colName, p.lo, p.hi).count())
+    (candidatesAnd(spark, storeDir, preds).count(), single)
+  }
+
+  /** Execute an AND-of-range-predicates query over the encoded store:
+    * intersect zone candidates across columns, refine with one FULL
+    * index when present (index rows restricted to surviving chunks →
+    * positional gather), and exact-filter every predicate on the
+    * decoded rows. Falls back to a candidate-chunk scan when the
+    * refinement names too many rows for a gather.
+    */
+  def queryAnd(spark: SparkSession, storeDir: String, schema: StructType,
+               preds: Seq[Pred]): DataFrame = {
+    require(preds.nonEmpty, "queryAnd needs at least one predicate")
+    val exactAll = preds.map(p => MetaIndex.exactRange(schema, p.colName, p.lo, p.hi)).reduce(_ && _)
+    val cand = candidatesAnd(spark, storeDir, preds)
+    val keys = cand.limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val pushable = keys.length <= MetaIndex.MAX_PUSHDOWN_KEYS
+
+    val indexed = preds.find(p => IndexStore.hasFull(spark, storeDir, p.colName))
+    indexed match {
+      case Some(ip) if pushable =>
+        val keySet = keys.toSet
+        val hits = IndexStore.readFullRange(spark, storeDir, schema, ip.colName, ip.lo, ip.hi)
+          .select("shard", "partId", "chunkId", "pos")
+          .filter(r => keySet.contains((r.getInt(0), r.getInt(1), r.getLong(2))))
+        // bound the gather: count before collecting positions
+        if (hits.count() <= MAX_GATHER_ROWS) {
+          val byChunk = hits.collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+            .map { case (k, rs) => k -> rs.map(_.getInt(3)).sorted }
+          IndexStore.gather(spark, storeDir, schema, byChunk).filter(exactAll)
+        } else
+          TableCodec.decode(
+            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, schema.fieldNames.toSeq),
+            schema).filter(exactAll)
+      case _ =>
+        val blocks =
+          if (pushable)
+            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, schema.fieldNames.toSeq)
+          else {
+            val df = spark.read.parquet(storeDir)
+            StoreLayout.assemble(
+              df.join(cand, Seq("shard", "partId", "chunkId"), "left_semi"),
+              schema.fieldNames.toSeq.map(StoreLayout.fieldName))
+          }
+        TableCodec.decode(blocks, schema).filter(exactAll)
+    }
   }
 }

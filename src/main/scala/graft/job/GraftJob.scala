@@ -82,10 +82,8 @@ object GraftJob {
 
     case "stats" :: dir :: Nil =>
       val spark = session("graft-stats")
-      val blocks = Lineage.readBlocks(spark, dir)
-      import spark.implicits._
-      val byPlan = blocks.flatMap(_.cols.map(c => (c.name, c.plan, c.nBytes, c.cBytes)))
-        .toDF("col", "plan", "nBytes", "cBytes")
+      // metadata leaves only — no payload byte is read for stats
+      val byPlan = graft.encode.StoreLayout.colStats(spark, dir)
         .groupBy("col", "plan")
         .agg(count(lit(1)).as("chunks"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
         .withColumn("ratio", round(col("nBytes") / col("cBytes"), 2))

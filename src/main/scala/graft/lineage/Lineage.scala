@@ -1,6 +1,6 @@
 package graft.lineage
 
-import graft.encode.{EncodedBlock, TableCodec}
+import graft.encode.{EncodedBlock, StoreLayout, TableCodec}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,13 @@ object Lineage {
 
   val SHARD_COL = "__graft_shard"
 
+  /** Above this many upsert keys the anti-join side is not broadcast
+    * (a 100M-key broadcast OOMs every executor); AQE picks the join.
+    * Overridable for tests via this spark conf key.
+    */
+  val BROADCAST_KEYS_CONF = "graft.upsert.broadcastMaxKeys"
+  val BROADCAST_KEYS_DEFAULT = 1000000L
+
   def manifestPath(outDir: String): String = s"$outDir/_manifest"
 
   def completedShards(spark: SparkSession, outDir: String): Set[Int] = {
@@ -53,6 +60,14 @@ object Lineage {
       spark.read.parquet(manifestPath(outDir))
         .select("shard").distinct().collect().map(_.getInt(0)).toSet
     } catch { case _: Throwable => Set.empty }
+  }
+
+  /** The store's lineage shard count, from the manifest (one row per
+    * shard is written even for empty shards, so this is exact).
+    */
+  def storeShardCount(spark: SparkSession, outDir: String): Option[Int] = {
+    val n = completedShards(spark, outDir).size
+    if (n == 0) None else Some(n)
   }
 
   /** Encode `input` into `outDir` resumably.
@@ -73,7 +88,7 @@ object Lineage {
       chunkRows: Int = TableCodec.CHUNK_ROWS,
       failAfterBatches: Int = Int.MaxValue
   ): RunSummary = {
-    import spark.implicits._
+    val names = TableCodec.encodedNames(input.schema)
     val done = completedShards(spark, outDir)
     val all = (0 until nShards).toSet
     val pending = (all -- done).toSeq.sorted
@@ -109,16 +124,13 @@ object Lineage {
         .repartition(math.max(shardBatch.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL)
       val blocks = TableCodec.encode(batchDf, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
-      blocks.write.mode(SaveMode.Append).partitionBy("shard").parquet(outDir)
+      StoreLayout.write(blocks, names, outDir, SaveMode.Append)
       val wallMs = (System.nanoTime() - t0) / 1000000L
 
-      // metrics from what was just committed (column-pruned read: payloads
-      // are never touched)
-      val stats = spark.read.parquet(outDir)
+      // metrics from what was just committed (metadata leaves only:
+      // payloads are never touched)
+      val stats = StoreLayout.chunkStats(spark, outDir)
         .filter(col("shard").isin(shardBatch.map(Integer.valueOf): _*))
-        .select(col("shard"), col("nRows"),
-          expr("aggregate(cols, 0L, (acc, c) -> acc + c.nBytes)").as("nBytes"),
-          expr("aggregate(cols, 0L, (acc, c) -> acc + c.cBytes)").as("cBytes"))
         .groupBy("shard")
         .agg(sum("nRows").as("nRows"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
         .collect()
@@ -179,10 +191,12 @@ object Lineage {
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(kept, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    // derived data (indexes, offsets) addresses pre-rewrite chunk
+    // positions — drop BEFORE the overwrite commits, so a crash in
+    // between cannot leave a live index over rewritten chunks
+    dropDerived(spark, outDir)
+    withDynamicOverwrite(spark) {
+      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
       // shards that end up EMPTY after the delete are not touched by
       // dynamic overwrite — drop their partition dirs explicitly. The
       // surviving-shard set comes from the just-committed store's
@@ -197,13 +211,7 @@ object Lineage {
         val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$s")
         if (fs.exists(p)) fs.delete(p, true)
       }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
     }
-    dropIndexes(spark, outDir)
     deleted
   }
 
@@ -256,10 +264,10 @@ object Lineage {
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(projected, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
+    dropDerived(spark, outDir)
     withDynamicOverwrite(spark) {
-      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
     }
-    dropIndexes(spark, outDir)
     updated
   }
 
@@ -268,7 +276,10 @@ object Lineage {
     * already exist replace the old rows; the rest are inserted. Only
     * the shards hashed by the new rows are decoded and rewritten.
     *
-    * @param nShards must match the store's lineage shard count
+    * @param nShards the store's lineage shard count; -1 (default) reads
+    *                it from the manifest. A wrong explicit value would
+    *                hash existing keys to the wrong shard and silently
+    *                insert duplicates, so a manifest mismatch fails.
     * @return (rowsReplaced, rowsInserted)
     */
   def upsert(
@@ -277,12 +288,25 @@ object Lineage {
       schema: org.apache.spark.sql.types.StructType,
       newRows: DataFrame,
       idCols: Seq[String],
-      nShards: Int = 64,
+      nShards: Int = -1,
       chunkRows: Int = TableCodec.CHUNK_ROWS
   ): (Long, Long) = {
+    val manifestShards = storeShardCount(spark, outDir)
+    val effShards = (manifestShards, nShards) match {
+      case (Some(m), -1) => m
+      case (Some(m), n) =>
+        require(n == m, s"upsert nShards=$n does not match the store's manifest shard count $m")
+        n
+      case (None, -1) =>
+        throw new IllegalStateException(s"no manifest under $outDir — pass nShards explicitly")
+      case (None, n) => n
+    }
     val sharded = newRows.withColumn(
-      SHARD_COL, pmod(xxhash64(idCols.map(col): _*), lit(nShards)).cast("int"))
-    val hitShards = sharded.select(SHARD_COL).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      SHARD_COL, pmod(xxhash64(idCols.map(col): _*), lit(effShards)).cast("int"))
+    // ONE pass over newRows yields both the hit-shard set and the count
+    val shardCounts = sharded.groupBy(SHARD_COL).count().collect()
+    val hitShards = shardCounts.map(_.getInt(0)).toSeq.sorted
+    val newCount = shardCounts.map(_.getLong(1)).sum
     // row counts before/after come from store METADATA (nRows column,
     // payloads never read) — the only decode of the affected shards is
     // the one inside the rewrite job itself
@@ -293,19 +317,21 @@ object Lineage {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val oldRows = metaRows()
-    val newCount = newRows.count()
     val old = TableCodec.decode(readBlocks(spark, outDir, Some(hitShards)), schema, shardColName = Some(SHARD_COL))
     val keyOnly = newRows.select(idCols.map(col): _*)
-    val kept = old.join(broadcast(keyOnly), idCols, "left_anti")
+    // size-gate the broadcast: beyond the threshold let AQE pick the join
+    val maxBcast = spark.conf.getOption(BROADCAST_KEYS_CONF).map(_.toLong).getOrElse(BROADCAST_KEYS_DEFAULT)
+    val probe = if (newCount <= maxBcast) broadcast(keyOnly) else keyOnly
+    val kept = old.join(probe, idCols, "left_anti")
     val merged = kept.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*)
       .unionByName(sharded.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*))
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(merged, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
+    dropDerived(spark, outDir)
     withDynamicOverwrite(spark) {
-      reencoded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
     }
-    dropIndexes(spark, outDir)
     val afterRows = metaRows()
     val replaced = oldRows + newCount - afterRows
     (replaced, newCount - replaced)
@@ -318,10 +344,7 @@ object Lineage {
     */
   def refreshManifest(spark: SparkSession, outDir: String): Unit = {
     val now = System.currentTimeMillis()
-    val stats = spark.read.parquet(outDir)
-      .select(col("shard"), col("nRows"),
-        expr("aggregate(cols, 0L, (acc, c) -> acc + c.nBytes)").as("nBytes"),
-        expr("aggregate(cols, 0L, (acc, c) -> acc + c.cBytes)").as("cBytes"))
+    val stats = StoreLayout.chunkStats(spark, outDir)
       .groupBy("shard")
       .agg(sum("nRows").as("nRows"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
       .collect()
@@ -330,15 +353,21 @@ object Lineage {
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(outDir))
   }
 
-  /** Secondary indexes address rows by (shard, partId, chunkId, pos) —
-    * any copy-on-write rewrite invalidates them. Drop the index dir so
-    * the Planner falls back to zone scans until `create*` rebuilds
-    * (the reference does the same: mutations mark indexes stale).
+  /** Secondary indexes and the offsets table address rows by
+    * (shard, partId, chunkId, pos) — any copy-on-write rewrite
+    * invalidates them. Dropped BEFORE the rewrite commits (dropping
+    * derived data early is always safe; dropping late leaves a crash
+    * window where a stale index silently returns wrong rows). The
+    * Planner falls back to zone scans until `create*` rebuilds.
+    * Generated columns are NOT dropped: their per-shard fingerprints
+    * (GeneratedCols._state) go stale and refresh recomputes them.
     */
-  private def dropIndexes(spark: SparkSession, outDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/_index")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
+  private def dropDerived(spark: SparkSession, outDir: String): Unit = {
+    Seq("_index", "_offsets").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$d")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
@@ -352,12 +381,6 @@ object Lineage {
   }
 
   /** Read encoded blocks back (all shards or a subset — partition-pruned). */
-  def readBlocks(spark: SparkSession, outDir: String, shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] = {
-    implicit val enc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
-    val df = spark.read.parquet(outDir)
-    val filtered = shards.map(s => df.filter(col("shard").isin(s.map(Integer.valueOf): _*))).getOrElse(df)
-    filtered
-      .select("shard", "partId", "chunkId", "nRows", "cols")
-      .as[EncodedBlock]
-  }
+  def readBlocks(spark: SparkSession, outDir: String, shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] =
+    StoreLayout.readBlocks(spark, outDir, names = null, shards = shards)
 }

@@ -105,25 +105,62 @@ object Similarity {
 
   /** Persist the bucketed embedding table PARTITIONED BY bucket: at
     * 100 TB a probe touches nPlanes+1 of the 2^nPlanes partition dirs
-    * (directory-level pruning), never the full table.
+    * (directory-level pruning), never the full table. The hyperplane
+    * parameters (nPlanes, dim, seed) are persisted beside the data —
+    * `dim` is DERIVED from the stored vectors, not trusted from a
+    * default, so a probe can never silently hash with planes of the
+    * wrong dimensionality.
     */
   def writeBucketedStore(df: DataFrame, idCol: String, vecCol: String, outDir: String,
-                         nPlanes: Int = 12, dim: Int = 64, seed: Long = 7L): Unit =
+                         nPlanes: Int = 12, seed: Long = 7L): Unit = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     df.select(col(idCol), col(vecCol),
         bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
       // cluster by the partition key first: one file per bucket dir, not
       // (shuffle partitions × buckets) near-empty files
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    writeAnnMeta(df.sparkSession, outDir, nPlanes, dim, seed)
+  }
+
+  final case class AnnMeta(nPlanes: Int, dim: Int, seed: Long)
+
+  private def annMetaPath(storeDir: String) = s"$storeDir/_ann_meta.json"
+
+  private def writeAnnMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                           nPlanes: Int, dim: Int, seed: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(annMetaPath(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"nPlanes":$nPlanes,"dim":$dim,"seed":$seed}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readAnnMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): AnnMeta = {
+    val p = new org.apache.hadoop.fs.Path(annMetaPath(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _ann_meta.json under $storeDir — not a bucketed ANN store")
+    val in = fs.open(p)
+    val text = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    def field(n: String): String =
+      s""""$n":\\s*(-?\\d+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(s"bad _ann_meta.json: $text")).group(1)
+    AnnMeta(field("nPlanes").toInt, field("dim").toInt, field("seed").toLong)
+  }
 
   /** ANN top-k against the bucketed store: the probe-bucket isin filter
     * lands in the scan's PartitionFilters, so only probe partitions are
-    * listed and read (asserted in AnnStoreSpec).
+    * listed and read (asserted in AnnStoreSpec). Hyperplanes come from
+    * the store's persisted metadata — a query of the wrong
+    * dimensionality fails loudly instead of probing garbage buckets.
     */
   def lshTopKFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-                       idCol: String, vecCol: String, query: Array[Float], k: Int,
-                       nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    val probes = probeBuckets(query, nPlanes, seed)
+                       idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame = {
+    val meta = readAnnMeta(spark, storeDir)
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != store dim ${meta.dim}")
+    val probes = probeBuckets(query, meta.nPlanes, meta.seed)
     spark.read.parquet(storeDir)
       .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
       .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.encode.TableCodec
+import graft.encode.{StoreLayout, TableCodec}
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -42,9 +42,30 @@ object StreamingEncode {
         // appending duplicates — exactly-once at the store level, not
         // just at-least-once. `batch=<id>` is a partition column on read.
         val blocks = TableCodec.encode(batch, chunkRows = chunkRows)
-        blocks.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+        StoreLayout.toStoreRows(blocks, TableCodec.encodedNames(schema))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
+  }
+
+  /** Compact a batch-partitioned streaming store into a plain keyed
+    * store: (shard, partId, chunkId) is only unique WITHIN a batch, so
+    * keyed operations (indexes, gathers, slices) refuse batch stores
+    * (StoreLayout.requireNoBatch). Compaction folds the batch id into
+    * the chunkId (metadata-level rewrite — payloads are copied, never
+    * re-encoded) and drops the batch dimension.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(inDir)
+    require(StoreLayout.hasBatchPartitions(df.schema), s"$inDir has no batch= partitions")
+    val dataCols = df.schema.fieldNames.filterNot(Seq("batch", "shard", "partId", "chunkId", "nRows").contains)
+    df.select(
+        col("shard") +: col("partId") +:
+          // chunkIds stay far below 2^40 per batch (one counter per task)
+          (col("batch").cast("long") * lit(1L << 40) + col("chunkId")).as("chunkId") +:
+          col("nRows") +: dataCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
   }
 }

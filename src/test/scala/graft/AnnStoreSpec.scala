@@ -27,21 +27,21 @@ class AnnStoreSpec extends SparkTestBase {
   }
   private lazy val storeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
-    Similarity.writeBucketedStore(df, "vec_id", "embedding", dir, nPlanes = 8, dim = dim)
+    Similarity.writeBucketedStore(df, "vec_id", "embedding", dir, nPlanes = 8)
     dir
   }
 
   test("store probe equals the in-memory LSH probe") {
     val mem = Similarity.lshTopK(df, "vec_id", "embedding", q, 5, nPlanes = 8)
       .collect().map(_.getLong(0)).toSet
-    val store = Similarity.lshTopKFromStore(spark, storeDir, "vec_id", "embedding", q, 5, nPlanes = 8)
+    val store = Similarity.lshTopKFromStore(spark, storeDir, "vec_id", "embedding", q, 5)
       .collect().map(_.getLong(0)).toSet
     assert(store == mem, s"store=$store mem=$mem")
     assert(store.intersect((1000L until 1005L).toSet).size >= 4, s"recall: $store")
   }
 
   test("probe reads only probe-bucket partitions (partition pruning)") {
-    val probe = Similarity.lshTopKFromStore(spark, storeDir, "vec_id", "embedding", q, 5, nPlanes = 8)
+    val probe = Similarity.lshTopKFromStore(spark, storeDir, "vec_id", "embedding", q, 5)
     val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no FileSourceScanExec"))

@@ -17,7 +17,8 @@ class DictFilterSpec extends SparkTestBase {
     .repartition(4, col("lang")).sortWithinPartitions("lang")
   private lazy val storeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-dict").toString
-    TableCodec.encode(df, chunkRows = 100).write.mode("overwrite").parquet(dir)
+    graft.encode.StoreLayout.write(
+      TableCodec.encode(df, chunkRows = 100), df.schema.fieldNames.toSeq, dir)
     dir
   }
 
@@ -42,11 +43,7 @@ class DictFilterSpec extends SparkTestBase {
   test("matching chunks decode only themselves; filter column stays in code domain") {
     val target = "c"
     val matchingChunks = {
-      import org.apache.spark.sql.Encoders
-      implicit val e: org.apache.spark.sql.Encoder[graft.encode.EncodedBlock] =
-        Encoders.product[graft.encode.EncodedBlock]
-      val blocks = spark.read.parquet(storeDir)
-        .select("shard", "partId", "chunkId", "nRows", "cols").as[graft.encode.EncodedBlock]
+      val blocks = graft.encode.StoreLayout.readBlocks(spark, storeDir, Seq("lang"))
       blocks.rdd.map { b =>
         val c = b.cols.find(_.name == "lang").get
         val vec = TableCodec.decodeColumn(c).asInstanceOf[graft.codecs.BinVec]

@@ -19,7 +19,8 @@ class IndexSpec extends SparkTestBase {
 
   private lazy val storeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
-    TableCodec.encode(df, chunkRows = 100).write.mode("overwrite").parquet(dir)
+    graft.encode.StoreLayout.write(
+      TableCodec.encode(df, chunkRows = 100), df.schema.fieldNames.toSeq, dir)
     IndexStore.createFull(spark, dir, df.schema, "row_id")
     IndexStore.createFull(spark, dir, df.schema, "repo")
     IndexStore.createBucket(spark, dir, df.schema, "commit")

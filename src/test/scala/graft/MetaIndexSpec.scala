@@ -22,7 +22,7 @@ class MetaIndexSpec extends SparkTestBase {
   private lazy val blocks = TableCodec.encode(df, chunkRows = 100).cache()
   private lazy val storeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
-    blocks.write.mode("overwrite").parquet(dir)
+    graft.encode.StoreLayout.write(blocks, df.schema.fieldNames.toSeq, dir)
     dir
   }
 
@@ -42,16 +42,22 @@ class MetaIndexSpec extends SparkTestBase {
   }
 
   test("prune pass is metadata-only: payload/sha never in the scan schema") {
-    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.types.StructType
     val meta = MetaIndex.zoneMeta(spark, storeDir)
     val scan = meta.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no FileSourceScanExec in prune plan"))
-    // the exact struct fields the parquet reader maps: zone metadata only
-    val colsFields = scan.requiredSchema("cols").dataType
-      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].fieldNames.toSet
-    assert(colsFields == Set("name", "dt", "minKey", "maxKey"),
-      s"prune pass must not read payload/sha, got $colsFields")
+    // the exact struct leaves the parquet reader maps: zone metadata
+    // only, for EVERY per-column chunk struct in the v2 layout
+    val structFields = scan.requiredSchema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        f.name -> f.dataType.asInstanceOf[StructType].fieldNames.toSet
+    }
+    assert(structFields.nonEmpty, s"no chunk structs in ${scan.requiredSchema}")
+    structFields.foreach { case (n, fields) =>
+      assert(fields == Set("name", "dt", "minKey", "maxKey"),
+        s"prune pass must not read payload/sha of $n, got $fields")
+    }
     // and the candidate fetch pushes the surviving chunk keys into the scan
     val target = df.select("repo").orderBy("repo").head().getString(0)
     val cand = MetaIndex.readCandidates(spark, storeDir, "repo", target, target)

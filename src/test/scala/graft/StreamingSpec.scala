@@ -30,8 +30,7 @@ class StreamingSpec extends SparkTestBase {
     q1.awaitTermination(120000)
 
     val firstRows = TableCodec.decode(
-      spark.read.parquet(out).select("shard", "partId", "chunkId", "nRows", "cols")
-        .as[graft.encode.EncodedBlock], schema).count()
+      graft.encode.StoreLayout.readBlocks(spark, out), schema).count()
     assert(firstRows > 0 && firstRows < 600)
 
     // a third batch arrives; restart from the same checkpoint: only the
@@ -41,8 +40,7 @@ class StreamingSpec extends SparkTestBase {
     q2.awaitTermination(120000)
 
     val decoded = TableCodec.decode(
-      spark.read.parquet(out).select("shard", "partId", "chunkId", "nRows", "cols")
-        .as[graft.encode.EncodedBlock], schema)
+      graft.encode.StoreLayout.readBlocks(spark, out), schema)
     assert(decoded.count() == 600, "no dupes, no loss after restart")
     // bit-identical content end to end
     val a = all.select(sum(crc32(sha2(col("content"), 256)))).head().getLong(0)
