@@ -370,7 +370,7 @@ object Lineage {
     }
   }
 
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+  private[lineage] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try body

@@ -59,6 +59,17 @@ object Similarity {
       }
     }
 
+  /** Axis-aligned hyperplanes (plane i = basis vector e_i, so bit i is
+    * just sign(vec(i))): a degenerate but legitimate sign-LSH family
+    * whose bucket function is plain SQL — which lets an independent
+    * engine (the DuckDB oracle) recompute bucketing, probe expansion,
+    * pruned rerank, and recall end-to-end. The random family stays the
+    * production default; this one exists so the ANN machinery has an
+    * externally-verifiable instance.
+    */
+  def axisPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => if (i == p) 1.0f else 0.0f))
+
   /** Sign-LSH bucket id column for an embedding column. */
   def bucketCol(vecCol: Column, ps: Array[Array[Float]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
@@ -81,10 +92,12 @@ object Similarity {
   }
 
   /** Probe set: the query's bucket plus its hamming-1 neighbors. */
-  def probeBuckets(query: Array[Float], nPlanes: Int, seed: Long): Array[Long] = {
-    val ps = planes(nPlanes, query.length, seed)
+  def probeBuckets(query: Array[Float], nPlanes: Int, seed: Long): Array[Long] =
+    probeBucketsWith(query, planes(nPlanes, query.length, seed))
+
+  def probeBucketsWith(query: Array[Float], ps: Array[Array[Float]]): Array[Long] = {
     val qBucket = bucketOf(query, ps)
-    qBucket +: Array.tabulate(nPlanes)(i => qBucket ^ (1L << i))
+    qBucket +: Array.tabulate(ps.length)(i => qBucket ^ (1L << i))
   }
 
   /** ANN top-k: probe the query's bucket and its hamming-1 neighbors,
@@ -112,27 +125,31 @@ object Similarity {
     * wrong dimensionality.
     */
   def writeBucketedStore(df: DataFrame, idCol: String, vecCol: String, outDir: String,
-                         nPlanes: Int = 12, seed: Long = 7L): Unit = {
+                         nPlanes: Int = 12, seed: Long = 7L, axis: Boolean = false): Unit = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val ps = if (axis) axisPlanes(nPlanes, dim) else planes(nPlanes, dim, seed)
     df.select(col(idCol), col(vecCol),
-        bucketCol(col(vecCol), planes(nPlanes, dim, seed)).as("bucket"))
+        bucketCol(col(vecCol), ps).as("bucket"))
       // cluster by the partition key first: one file per bucket dir, not
       // (shuffle partitions × buckets) near-empty files
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    writeAnnMeta(df.sparkSession, outDir, nPlanes, dim, seed)
+    writeAnnMeta(df.sparkSession, outDir, nPlanes, dim, seed, axis)
   }
 
-  final case class AnnMeta(nPlanes: Int, dim: Int, seed: Long)
+  final case class AnnMeta(nPlanes: Int, dim: Int, seed: Long, axis: Boolean) {
+    def planesOf: Array[Array[Float]] =
+      if (axis) axisPlanes(nPlanes, dim) else planes(nPlanes, dim, seed)
+  }
 
   private def annMetaPath(storeDir: String) = s"$storeDir/_ann_meta.json"
 
   private def writeAnnMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-                           nPlanes: Int, dim: Int, seed: Long): Unit = {
+                           nPlanes: Int, dim: Int, seed: Long, axis: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(annMetaPath(storeDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write(s"""{"nPlanes":$nPlanes,"dim":$dim,"seed":$seed}""".getBytes("UTF-8"))
+    out.write(s"""{"nPlanes":$nPlanes,"dim":$dim,"seed":$seed,"axis":$axis}""".getBytes("UTF-8"))
     out.close()
   }
 
@@ -146,7 +163,8 @@ object Similarity {
     def field(n: String): String =
       s""""$n":\\s*(-?\\d+)""".r.findFirstMatchIn(text)
         .getOrElse(throw new IllegalStateException(s"bad _ann_meta.json: $text")).group(1)
-    AnnMeta(field("nPlanes").toInt, field("dim").toInt, field("seed").toLong)
+    val axis = """"axis":\s*(true|false)""".r.findFirstMatchIn(text).exists(_.group(1) == "true")
+    AnnMeta(field("nPlanes").toInt, field("dim").toInt, field("seed").toLong, axis)
   }
 
   /** ANN top-k against the bucketed store: the probe-bucket isin filter
@@ -160,7 +178,7 @@ object Similarity {
     val meta = readAnnMeta(spark, storeDir)
     require(query.length == meta.dim,
       s"query dim ${query.length} != store dim ${meta.dim}")
-    val probes = probeBuckets(query, meta.nPlanes, meta.seed)
+    val probes = probeBucketsWith(query, meta.planesOf)
     spark.read.parquet(storeDir)
       .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
       .select(col(idCol), cosineLit(col(vecCol), query).as("cosine"))

@@ -13,8 +13,15 @@ class IndexSpec extends SparkTestBase {
 
   private lazy val df = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
-    Corpus.generate(spark, 2000, 8).toDF()
+    // single partition → monotonically_increasing_id is the CONTIGUOUS
+    // sequence 0..1999 (across partitions it embeds partition bits),
+    // so range predicates line up with the chunk grid
+    Corpus.generate(spark, 2000, 8).toDF().coalesce(1)
       .withColumn("row_id", monotonically_increasing_id())
+      // a second row-order-correlated column (offset from row_id's chunk
+      // grid) so the multi-column test has two predicates whose zone
+      // candidate sets genuinely differ
+      .withColumn("grp", floor(col("row_id") / 700).cast("long"))
   }
 
   private lazy val storeDir: String = {
@@ -90,6 +97,21 @@ class IndexSpec extends SparkTestBase {
     val ids = sliced.select("row_id").collect().map(_.getLong(0)).toSet
     val allIds = all.select("row_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(allIds))
+  }
+
+  test("multi-column AND intersects zones: fewer chunks than either single column") {
+    // row_id 350-1049 → chunks 3-10; grp=1 ⇔ row_id 700-1399 → chunks
+    // 7-13; the intersection (7-10) is strictly smaller than both
+    val preds = Seq(Planner.Pred("row_id", "350", "1049"), Planner.Pred("grp", "1", "1"))
+    val (andChunks, singles) = Planner.planAnd(spark, storeDir, preds)
+    assert(singles.size == 2 && singles.forall(andChunks < _), s"and=$andChunks singles=$singles")
+    val res = Planner.queryAnd(spark, storeDir, df.schema, preds)
+    val expect = df.filter(col("row_id").between(350, 1049) && col("grp") === 1)
+    assert(expect.count() > 0)
+    assert(res.count() == expect.count())
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(sum(crc32(concat_ws("|", col("row_id"), col("repo"), col("path"), col("grp"))))).head().getLong(0)
+    assert(h(res) == h(expect))
   }
 
   test("BUCKET index equality probe is exact and prunes chunks") {
