@@ -2,7 +2,7 @@ package graft.job
 
 import graft.corpus.Corpus
 import graft.encode.TableCodec
-import graft.lineage.Lineage
+import graft.lineage.{GeneratedCols, Lineage}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   lookup  <encodedDir> <col> <lo> <hi>                  planned range query
   *   slice   <encodedDir> <start> <count>                  positional rows
   *   delete  <encodedDir> <col> <value>                    copy-on-write delete
+  *   gencol add <encodedDir> <name> <exprSql>              materialize generated column
+  *   gencol refresh <encodedDir> <name>                    recompute stale shards only
+  *   gencol stale <encodedDir> <name>                      list stale shards
   *
   * On a real cluster the same jar runs unchanged: all stages are
   * shuffle-free mapPartitions (encode/decode/verify) or manifest-sized
@@ -121,6 +124,31 @@ object GraftJob {
       val deleted = Lineage.deleteWhere(spark, dir, codeSchema, col(colName) === value)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"job":"delete","col":"$colName","deleted":$deleted,"sec":$sec%.2f}""")
+      spark.stop()
+
+    // gencol add <dir> <name> <exprSql>   — materialize a generated column
+    // gencol refresh <dir> <name>         — recompute stale shards only
+    // gencol stale <dir> <name>           — list stale shards
+    case "gencol" :: "add" :: dir :: name :: exprSql :: Nil =>
+      val spark = session("graft-gencol")
+      val t0 = System.nanoTime()
+      GeneratedCols.add(spark, dir, codeSchema, name, exprSql, Seq("repo", "path", "commit"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"gencol-add","name":"$name","sec":$sec%.2f}""")
+      spark.stop()
+
+    case "gencol" :: "refresh" :: dir :: name :: Nil =>
+      val spark = session("graft-gencol")
+      val t0 = System.nanoTime()
+      val shards = GeneratedCols.refresh(spark, dir, codeSchema, name)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"gencol-refresh","name":"$name","shardsRecomputed":${shards.size},"sec":$sec%.2f}""")
+      spark.stop()
+
+    case "gencol" :: "stale" :: dir :: name :: Nil =>
+      val spark = session("graft-gencol")
+      val shards = GeneratedCols.staleShards(spark, dir, name)
+      println(s"""{"job":"gencol-stale","name":"$name","staleShards":[${shards.mkString(",")}]}""")
       spark.stop()
 
     case other =>
