@@ -1,0 +1,177 @@
+package graft.catalog
+
+import graft.encode.{StoreLayout, TableCodec}
+import graft.lineage.Lineage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Hierarchical catalog of encoded table stores under one root — the
+  * reference's TreeStore/DictStore container layer (python-blosc2
+  * tree_store.py:86 hierarchical '/'-keys + traversal; dict_store.py
+  * key→container mapping; per-store user metadata = the vlmeta dict,
+  * tree_store.py:961).
+  *
+  * Design for a 1000-writer cluster: NO central registry file to
+  * contend on. Each entry directory is self-describing — a tiny
+  * `_entry.json` (schema DDL + identity columns) marks it as a table —
+  * and catalog listing is a filesystem walk, so concurrent `put`s to
+  * different keys never serialize, and a crashed writer leaves at worst
+  * an unregistered partial directory (no corrupt catalog state).
+  * Entry payloads are full lineage stores: resumable encode, manifest,
+  * indexes, generated columns and CoW mutations all work per entry.
+  *
+  * Keys are '/'-separated paths (`/corpus/docs`); a leading '/' is
+  * implied. Path segments map to real subdirectories, so `children` /
+  * `descendants` / `walk` are directory listings, not scans.
+  */
+final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boolean = false) {
+
+  private val ENTRY = "_entry.json"
+
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Normalize + validate a key: '/'-separated non-empty segments, no
+    * '.'/'..', no segment colliding with store-internal dirs.
+    */
+  def normalize(key: String): String = {
+    val segs = key.split("/").filter(_.nonEmpty)
+    require(segs.nonEmpty, s"empty key: '$key'")
+    segs.foreach { s =>
+      require(s != "." && s != "..", s"illegal segment '$s' in key '$key'")
+      require(!s.startsWith("_"), s"segments may not start with '_' (reserved): '$key'")
+      require(!s.contains("="), s"segments may not contain '=' (partition syntax): '$key'")
+    }
+    "/" + segs.mkString("/")
+  }
+
+  def dirOf(key: String): String = root + normalize(key)
+
+  private def entryPath(key: String) = new org.apache.hadoop.fs.Path(s"${dirOf(key)}/$ENTRY")
+
+  private def requireWritable(op: String): Unit =
+    require(!readOnly, s"catalog is read-only: $op refused")
+
+  def contains(key: String): Boolean = fs.exists(entryPath(key))
+
+  /** Encode `df` as the table at `key` (resumable lineage store);
+    * re-putting an existing key REPLACES it. Tables are LEAF keys:
+    * a table may not live beneath another table (the parent store's
+    * parquet scan would swallow the child's files) nor on an interior
+    * node that already has children — a Spark-native tightening of the
+    * reference's object-subtree rule.
+    */
+  def put(key: String, df: DataFrame, idCols: Seq[String], nShards: Int = 64,
+          nBatches: Int = 8): Unit = {
+    requireWritable(s"put($key)")
+    val k = normalize(key)
+    val segs = k.split("/").filter(_.nonEmpty)
+    (1 until segs.length).foreach { i =>
+      val anc = "/" + segs.take(i).mkString("/")
+      require(!contains(anc), s"cannot create $k beneath existing table $anc")
+    }
+    require(contains(k) || children(k).isEmpty,
+      s"cannot create a table at interior node $k (it has children)")
+    if (contains(k)) { fs.delete(new org.apache.hadoop.fs.Path(dirOf(k)), true); () }
+    Lineage.encodeResumable(spark, df, dirOf(k), idCols, nShards = nShards, nBatches = nBatches)
+    val meta =
+      s"""{"schemaDdl":${jsonStr(df.schema.json)},"idCols":[${idCols.map(jsonStr).mkString(",")}]}"""
+    val out = fs.create(entryPath(k), true)
+    out.write(meta.getBytes("UTF-8"))
+    out.close()
+  }
+
+  final case class Entry(key: String, schema: StructType, idCols: Seq[String])
+
+  def entry(key: String): Entry = {
+    val k = normalize(key)
+    require(contains(k), s"no table at $k")
+    val in = fs.open(entryPath(k))
+    val text = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val ddl = """"schemaDdl":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalStateException(s"bad $ENTRY at $k: $text")).group(1)
+    val ids = """"idCols":\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalStateException(s"bad $ENTRY at $k: $text")).group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    Entry(k, DataType.fromJson(unescape(ddl)).asInstanceOf[StructType], ids)
+  }
+
+  /** The decoded table at `key`. */
+  def get(key: String): DataFrame = {
+    val e = entry(key)
+    TableCodec.decode(StoreLayout.readBlocks(spark, dirOf(e.key)), e.schema)
+  }
+
+  /** Direct children of `path`: (key, isTable). Interior nodes may
+    * themselves be tables (a table can have sub-tables, like the
+    * reference's object subtrees).
+    */
+  def children(path: String): Seq[(String, Boolean)] = {
+    val base = if (path == "/" || path.isEmpty) root else dirOf(path)
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.contains("="))
+      .map { st =>
+        val rel = (if (path == "/" || path.isEmpty) "" else normalize(path)) + "/" + st.getPath.getName
+        (rel, contains(rel))
+      }.sortBy(_._1)
+  }
+
+  /** Every table key under `path` (depth-first). */
+  def descendants(path: String = "/"): Seq[String] =
+    children(path).flatMap { case (k, isTable) =>
+      (if (isTable) Seq(k) else Nil) ++ descendants(k)
+    }
+
+  /** os.walk-style traversal: (dir, childDirs, tableChildren). */
+  def walk(path: String = "/"): Seq[(String, Seq[String], Seq[String])] = {
+    val cs = children(path)
+    val here = (if (path.isEmpty) "/" else path, cs.map(_._1), cs.filter(_._2).map(_._1))
+    here +: cs.flatMap { case (k, _) => if (children(k).nonEmpty) walk(k) else Nil }
+  }
+
+  /** Delete the table at `key` AND everything beneath it (the
+    * reference's subtree delete, tree_store.py:625).
+    */
+  def delete(key: String): Boolean = {
+    requireWritable(s"delete($key)")
+    val p = new org.apache.hadoop.fs.Path(dirOf(key))
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** User metadata on an entry or interior node — the vlmeta analog
+    * (tree_store.py:961): an arbitrary string→string map persisted as
+    * `_meta.json` beside the entry.
+    */
+  def setMeta(key: String, kv: Map[String, String]): Unit = {
+    requireWritable(s"setMeta($key)")
+    val merged = getMeta(key) ++ kv
+    val p = new org.apache.hadoop.fs.Path(s"${dirOf(key)}/_meta.json")
+    val out = fs.create(p, true)
+    out.write(merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def getMeta(key: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${dirOf(key)}/_meta.json")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(text)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  private def unescape(s: String): String =
+    s.replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+}

@@ -720,6 +720,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Schema validation report (the reference's vectorized constraint
+    * checks, schema_vectorized.py:64-176): every rule is a codegen'd
+    * predicate, all rules counted in ONE aggregate pass, example =
+    * deterministic min offending value. The oracle recomputes each
+    * rule independently in SQL.
+    */
+  def q20Validate(s: SparkSession, dir: String): DataFrame = {
+    import graft.encode.Validation
+    Validation.report(t(s, dir, "documents"), Seq(
+        Validation.Rule("n_chars", ge = Some(10), le = Some(400)),
+        Validation.Rule("lang", pattern = Some("[a-z]{2}")),
+        Validation.Rule("text", minLength = Some(100))))
+      .orderBy("col", "rule")
+  }
+
+  val q20Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'n_chars' AS col, 'ge=10.0, le=400.0' AS rule,
+      |    count(*) FILTER (WHERE n_chars < 10 OR n_chars > 400) AS violations,
+      |    min(CASE WHEN n_chars < 10 OR n_chars > 400 THEN CAST(n_chars AS VARCHAR) END) AS example
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', 'pattern=[a-z]{2}',
+      |    count(*) FILTER (WHERE NOT regexp_full_match(lang, '[a-z]{2}')),
+      |    min(CASE WHEN NOT regexp_full_match(lang, '[a-z]{2}') THEN lang END)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'text', 'min_length=100',
+      |    count(*) FILTER (WHERE length(text) < 100),
+      |    min(CASE WHEN length(text) < 100 THEN text END)
+      |  FROM documents
+      |) ORDER BY col, rule""".stripMargin
+
   val roundtripNestedSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS m_lang,
@@ -909,6 +942,7 @@ object Queries {
     "q17_time_window" -> (q17TimeWindow _),
     "q18_math" -> (q18Math _),
     "q19_semi_anti" -> (q19SemiAnti _),
+    "q20_validate" -> (q20Validate _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -959,6 +993,7 @@ object Queries {
     "q17_time_window" -> q17Sql,
     "q18_math" -> q18Sql,
     "q19_semi_anti" -> q19Sql,
+    "q20_validate" -> q20Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
