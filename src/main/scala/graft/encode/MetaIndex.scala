@@ -163,12 +163,13 @@ object MetaIndex {
     */
   def pruningStats(spark: SparkSession, storeDir: String, colName: String,
                    lo: String, hi: String): (Long, Long) = {
-    val meta = zoneMetaFor(spark, storeDir, colName).cache()
-    try {
-      val total = meta.count()
-      val cand = meta.filter(intersectsExpr(lo, hi)).count()
-      (cand, total)
-    } finally meta.unpersist()
+    // both counts in ONE aggregate job — a planner probe should not pay
+    // two driver round-trips for one metadata scan
+    val row = zoneMetaFor(spark, storeDir, colName)
+      .agg(count(lit(1)).as("total"),
+        coalesce(sum(intersectsExpr(lo, hi).cast("long")), lit(0L)).as("cand"))
+      .head()
+    (row.getLong(1), row.getLong(0))
   }
 
   /** In-memory variant retained for Dataset-level pipelines (tests,

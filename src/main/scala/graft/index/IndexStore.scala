@@ -325,15 +325,33 @@ object Planner {
     else Choice("zone-scan", idxRows, idxChunks, zoneCand, total)
   }
 
-  /** Execute a range query through the chosen path. */
+  /** Execute a range query through the chosen path. Unlike calling
+    * `plan` then `rangeGather`, this probes the FULL index ONCE: the
+    * hit positions are collected (bounded by MAX_GATHER_ROWS+1) and
+    * reused for both the cost decision and the gather — a planned probe
+    * is 3 Spark jobs total (zone stats, index probe, gather), not 5.
+    */
   def query(spark: SparkSession, storeDir: String, schema: StructType,
             colName: String, lo: String, hi: String): (DataFrame, Choice) = {
-    val c = plan(spark, storeDir, schema, colName, lo, hi)
-    val df = c.path match {
-      case "index-gather" => IndexStore.rangeGather(spark, storeDir, schema, colName, lo, hi)
-      case _ => MetaIndex.lookup(spark, storeDir, schema, colName, lo, hi)
-    }
-    (df, c)
+    val (zoneCand, total) = MetaIndex.pruningStats(spark, storeDir, colName, lo, hi)
+    if (!IndexStore.hasFull(spark, storeDir, colName))
+      return (MetaIndex.lookup(spark, storeDir, schema, colName, lo, hi),
+        Choice("zone-scan", -1L, -1L, zoneCand, total))
+    val hits = IndexStore.readFullRange(spark, storeDir, schema, colName, lo, hi)
+      .select("shard", "partId", "chunkId", "pos")
+      .limit(MAX_GATHER_ROWS.toInt + 1).collect()
+    val overflow = hits.length > MAX_GATHER_ROWS
+    val byChunk: Map[(Int, Int, Long), Array[Int]] =
+      if (overflow) Map.empty
+      else hits.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .map { case (k, rs) => k -> rs.map(_.getInt(3)).sorted }
+    val idxChunks = if (overflow) -1L else byChunk.size.toLong
+    if (!overflow && idxChunks <= (zoneCand * GATHER_CHUNK_ADVANTAGE).toLong + 1)
+      (IndexStore.gather(spark, storeDir, schema, byChunk),
+        Choice("index-gather", hits.length.toLong, idxChunks, zoneCand, total))
+    else
+      (MetaIndex.lookup(spark, storeDir, schema, colName, lo, hi),
+        Choice("zone-scan", if (overflow) -1L else hits.length.toLong, idxChunks, zoneCand, total))
   }
 
   /** Metadata-only intersection of zone candidate sets across the
@@ -375,12 +393,13 @@ object Planner {
     indexed match {
       case Some(ip) if pushable =>
         val keySet = keys.toSet
+        // bound the gather with ONE limited collect (not count + collect)
         val hits = IndexStore.readFullRange(spark, storeDir, schema, ip.colName, ip.lo, ip.hi)
           .select("shard", "partId", "chunkId", "pos")
           .filter(r => keySet.contains((r.getInt(0), r.getInt(1), r.getLong(2))))
-        // bound the gather: count before collecting positions
-        if (hits.count() <= MAX_GATHER_ROWS) {
-          val byChunk = hits.collect()
+          .limit(MAX_GATHER_ROWS.toInt + 1).collect()
+        if (hits.length <= MAX_GATHER_ROWS) {
+          val byChunk = hits
             .groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
             .map { case (k, rs) => k -> rs.map(_.getInt(3)).sorted }
           IndexStore.gather(spark, storeDir, schema, byChunk).filter(exactAll)
