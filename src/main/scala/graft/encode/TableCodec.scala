@@ -241,6 +241,7 @@ object TableCodec {
     case (v: BinVec, d: DecimalType) =>
       i => Decimal(new java.math.BigDecimal(new java.math.BigInteger(v.values(i)), d.scale))
     case (v: BinVec, ArrayType(StringType, _)) => i => ArrayPack.unpackStrings(v.values(i))
+    case (v: BinVec, MapType(StringType, StringType, _)) => i => ArrayPack.unpackMap(v.values(i))
     case (v: BinVec, ArrayType(et, _)) =>
       val w = ArrayPack.widthOf(et)
       et match {
@@ -297,7 +298,7 @@ object ColBuilder {
     val BOOL = 4; val DATE = 5; val TS = 6; val DEC = 7
   }
   private object BKind {
-    val STRING = 0; val BINARY = 1; val DECIMAL = 2; val ARRAY = 3
+    val STRING = 0; val BINARY = 1; val DECIMAL = 2; val ARRAY = 3; val MAP = 4
   }
 
   def apply(dt: DataType): ColBuilder = dt match {
@@ -321,6 +322,10 @@ object ColBuilder {
       // varint lengths + element blobs, one binary per array value (the
       // reference's utf8 offsets+bytes layout, _utf8_array.py:9-31)
       new BinBuilder(BKind.ARRAY, elemType = StringType)
+    case MapType(StringType, StringType, _) =>
+      // interleaved [k0,v0,k1,v1,...] in the array<string> element
+      // format — the binary codec chain (DICT/FSST/zstd) applies as-is
+      new BinBuilder(BKind.MAP)
     case t => throw new IllegalArgumentException(s"unsupported column type $t")
   }
 
@@ -494,6 +499,7 @@ object ColBuilder {
           case BKind.ARRAY =>
             if (elemType == StringType) ArrayPack.packStrings(row.getArray(idx))
             else ArrayPack.pack(row.getArray(idx), elemType)
+          case BKind.MAP => ArrayPack.packMap(row.getMap(idx))
           case k => throw new IllegalStateException(s"BKind $k")
         }
         values(n) = v
@@ -586,6 +592,47 @@ object ArrayPack {
       i += 1
     }
     w.result()
+  }
+
+  /** map<string,string> layout: the packStrings format over the
+    * interleaved sequence [k0, v0, k1, v1, ...] (keys are never null;
+    * null VALUES use the element null flag). Representation order is
+    * preserved, so the roundtrip is bit-exact and the digest stable.
+    */
+  def packMap(md: org.apache.spark.sql.catalyst.util.MapData): Array[Byte] = {
+    val n = md.numElements()
+    val keys = md.keyArray()
+    val vals = md.valueArray()
+    val w = new graft.core.Bytes.Writer(32 + n * 16)
+    w.putVarInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val kb = keys.getUTF8String(i).getBytes
+      w.putByte(1); w.putVarInt(kb.length); w.putBytes(kb)
+      if (vals.isNullAt(i)) w.putByte(0)
+      else {
+        val vb = vals.getUTF8String(i).getBytes
+        w.putByte(1); w.putVarInt(vb.length); w.putBytes(vb)
+      }
+      i += 1
+    }
+    w.result()
+  }
+
+  def unpackMap(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val flat = unpackStrings(b)
+    val n = flat.numElements() / 2
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = flat.array(2 * i)
+      vals(i) = flat.array(2 * i + 1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
   }
 
   def unpackStrings(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {

@@ -711,12 +711,19 @@ object Queries {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, lit(null))
           .otherwise(struct(col("lang"), col("n_chars"))).as("meta"),
-        slice(split(col("text"), " "), 1, 5).as("words"))
+        slice(split(col("text"), " "), 1, 5).as("words"),
+        // map<string,string> (interleaved packStrings layout), incl.
+        // a NULL map value every 3rd row
+        map(lit("lang"), col("lang"),
+          lit("opt"), when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("source")))
+          .as("attrs"))
     roundtrip(src)
       .select(col("doc_id"),
         col("meta.lang").as("m_lang"),
         col("meta.n_chars").as("m_chars"),
-        concat_ws("|", col("words")).as("words_j"))
+        concat_ws("|", col("words")).as("words_j"),
+        element_at(col("attrs"), "lang").as("a_lang"),
+        element_at(col("attrs"), "opt").as("a_opt"))
       .orderBy("doc_id")
   }
 
@@ -757,7 +764,9 @@ object Queries {
     """SELECT doc_id,
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS m_lang,
       |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS m_chars,
-      |  array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS words_j
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS words_j,
+      |  lang AS a_lang,
+      |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS a_opt
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Encoded documents store shared by the store/index queries: built
