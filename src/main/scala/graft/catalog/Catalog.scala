@@ -171,7 +171,23 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
 
-  private def unescape(s: String): String =
-    s.replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Single-pass, backslash-driven (sequential replace would corrupt a
+    * literal backslash followed by n/r/t).
+    */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n')
+          case 'r' => b.append('\r')
+          case 't' => b.append('\t')
+          case c => b.append(c)
+        }
+        i += 2
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
 }

@@ -126,14 +126,21 @@ object MetaIndex {
     * the zone-key domain (values for long/string columns, micros for
     * timestamps, days for dates, unscaled for decimals).
     */
+  /** The encoded (flat) view of `schema`: struct columns become dotted
+    * leaves — the namespace predicates, indexes, and store reads
+    * actually address.
+    */
+  def flatOf(schema: StructType): StructType =
+    if (Nested.hasNested(schema)) Nested.flatSchema(schema) else schema
+
   def exactRange(schema: StructType, colName: String, lo: String, hi: String): Column = {
-    def bound(v: String): Column = domainLit(schema(colName).dataType, v)
+    def bound(v: String): Column = domainLit(flatOf(schema)(colName).dataType, v)
     col(colName) >= bound(lo) && col(colName) <= bound(hi)
   }
 
   /** Exact equality predicate in the same zone-key domain. */
   def exactEq(schema: StructType, colName: String, value: String): Column =
-    col(colName) === domainLit(schema(colName).dataType, value)
+    col(colName) === domainLit(flatOf(schema)(colName).dataType, value)
 
   /** A literal of `dt` from its zone-key-domain string form. */
   def domainLit(dt: DataType, v: String): Column = dt match {
@@ -155,7 +162,7 @@ object MetaIndex {
   def lookup(spark: SparkSession, storeDir: String, schema: StructType,
              colName: String, lo: String, hi: String): DataFrame =
     TableCodec.decode(
-      readCandidates(spark, storeDir, colName, lo, hi, schema.fieldNames.toSeq), schema)
+      readCandidates(spark, storeDir, colName, lo, hi, TableCodec.encodedNames(schema)), schema)
       .filter(exactRange(schema, colName, lo, hi))
 
   /** Pruning stats for a predicate: (candidate chunks, total chunks) —

@@ -62,7 +62,9 @@ object Validation {
     val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
       val bad = violates(r)
       Seq(
-        sum(bad.cast("long")).as(s"_n$i"),
+        // coalesce: sum over ZERO rows is NULL — an empty batch must
+        // report 0 violations, not NPE in getLong
+        coalesce(sum(bad.cast("long")), lit(0L)).as(s"_n$i"),
         min(when(bad, col(r.col).cast("string"))).as(s"_ex$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()

@@ -51,8 +51,9 @@ object DictFilter {
 
   def isinScan(spark: SparkSession, storeDir: String, schema: StructType,
                colName: String, values: Seq[String]): DataFrame = {
-    val names = schema.fieldNames
-    val dts = schema.fields.map(_.dataType)
+    val flat = MetaIndex.flatOf(schema)
+    val names = flat.fieldNames
+    val dts = flat.fields.map(_.dataType)
     val targets = values.map(_.getBytes(UTF_8)).toArray
 
     // pass 1: filter-column-only read → match positions per chunk
@@ -65,11 +66,15 @@ object DictFilter {
       })
     posDs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stats = posDs.toDF()
-        .select(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("pos")))
-        .collect().map(_.getInt(0))
-      val totalPos = stats.map(_.toLong).sum
-      if (stats.length <= MetaIndex.MAX_PUSHDOWN_KEYS && totalPos <= Planner.MAX_GATHER_ROWS) {
+      // selectivity decision from ONE aggregate row — collecting a row
+      // per matching chunk first would be an O(matching chunks) driver
+      // materialization at 100 TB scale
+      import org.apache.spark.sql.functions.{coalesce, count, lit, size, sum, col => fcol}
+      val statsRow = posDs.toDF()
+        .agg(count(lit(1)), coalesce(sum(size(fcol("pos"))), lit(0L))).head()
+      val nChunks = statsRow.getLong(0)
+      val totalPos = statsRow.getLong(1)
+      if (nChunks <= MetaIndex.MAX_PUSHDOWN_KEYS && totalPos <= Planner.MAX_GATHER_ROWS) {
         // selective: gather just the matching chunks (pushed keys)
         val byChunk = posDs.collect()
           .map(p => (p.shard, p.partId, p.chunkId) -> p.pos).toMap
@@ -86,7 +91,8 @@ object DictFilter {
             else TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions)
           }
         }
-        InternalRowShim.createDataFrame(spark, rdd, schema)
+        val df = InternalRowShim.createDataFrame(spark, rdd, flat)
+        if (flat eq schema) df else graft.encode.Nested.reassemble(df, schema)
       }
     } finally posDs.unpersist()
   }

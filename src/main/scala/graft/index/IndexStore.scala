@@ -62,7 +62,7 @@ object IndexStore {
     StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "createFull")
     val blocks = StoreLayout.readBlocks(spark, storeDir, Seq(colName))
     val out = fullPath(storeDir, colName)
-    val dt = schema(colName).dataType
+    val dt = MetaIndex.flatOf(schema)(colName).dataType
 
     def entries[T: scala.reflect.ClassTag](f: (graft.codecs.ColVec, graft.encode.EncodedBlock) => Iterator[T]) =
       blocks.rdd.flatMap { b =>
@@ -145,7 +145,7 @@ object IndexStore {
   def readFullRange(spark: SparkSession, storeDir: String, schema: StructType,
                     colName: String, lo: String, hi: String): DataFrame = {
     val idx = spark.read.parquet(fullPath(storeDir, colName))
-    schema(colName).dataType match {
+    MetaIndex.flatOf(schema)(colName).dataType match {
       case StringType => idx.filter(col("key") >= lo && col("key") <= hi)
       case DoubleType | FloatType => idx.filter(col("key") >= lo.toDouble && col("key") <= hi.toDouble)
       case _ => idx.filter(col("key") >= lo.toLong && col("key") <= hi.toLong)
@@ -177,7 +177,7 @@ object IndexStore {
     */
   def bucketProbe(spark: SparkSession, storeDir: String, schema: StructType,
                   colName: String, value: String, nBuckets: Int = 1 << 14): DataFrame = {
-    val bk = schema(colName).dataType match {
+    val bk = MetaIndex.flatOf(schema)(colName).dataType match {
       case StringType => bucketOfBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8), nBuckets)
       case DoubleType | FloatType =>
         throw new IllegalArgumentException("bucket index does not cover floating-point columns")
@@ -187,15 +187,19 @@ object IndexStore {
       .filter(col("bucket") === bk) // pushed → row-group skip
       .select("shard", "partId", "chunkId").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-    val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, chunks, schema.fieldNames.toSeq)
+    val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, chunks, TableCodec.encodedNames(schema))
     TableCodec.decode(blocks, schema).filter(MetaIndex.exactEq(schema, colName, value))
   }
 
-  /** Decode the given chunks and emit only the given positions. */
+  /** Decode the given chunks and emit only the given positions.
+    * Operates on the FLAT (encoded) schema — struct columns are
+    * gathered as dotted leaves and reassembled at the end.
+    */
   def gather(spark: SparkSession, storeDir: String, schema: StructType,
              posByChunk: Map[(Int, Int, Long), Array[Int]]): DataFrame = {
-    val names = schema.fieldNames
-    val dts = schema.fields.map(_.dataType)
+    val flat = MetaIndex.flatOf(schema)
+    val names = flat.fieldNames
+    val dts = flat.fields.map(_.dataType)
     val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, posByChunk.keys.toSeq, names.toSeq)
     val bc = spark.sparkContext.broadcast(posByChunk)
     val rdd = blocks.rdd.mapPartitions { it =>
@@ -206,7 +210,8 @@ object IndexStore {
         }
       }
     }
-    InternalRowShim.createDataFrame(spark, rdd, schema)
+    val df = InternalRowShim.createDataFrame(spark, rdd, flat)
+    if (flat eq schema) df else graft.encode.Nested.reassemble(df, schema)
   }
 
   /** Persist running row offsets per chunk — a tiny metadata table
@@ -405,17 +410,17 @@ object Planner {
           IndexStore.gather(spark, storeDir, schema, byChunk).filter(exactAll)
         } else
           TableCodec.decode(
-            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, schema.fieldNames.toSeq),
+            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, TableCodec.encodedNames(schema)),
             schema).filter(exactAll)
       case _ =>
         val blocks =
           if (pushable)
-            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, schema.fieldNames.toSeq)
+            StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, TableCodec.encodedNames(schema))
           else {
             val df = spark.read.parquet(storeDir)
             StoreLayout.assemble(
               df.join(cand, Seq("shard", "partId", "chunkId"), "left_semi"),
-              schema.fieldNames.toSeq.map(StoreLayout.fieldName))
+              TableCodec.encodedNames(schema).map(StoreLayout.fieldName))
           }
         TableCodec.decode(blocks, schema).filter(exactAll)
     }

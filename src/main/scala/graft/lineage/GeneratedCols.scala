@@ -66,10 +66,13 @@ object GeneratedCols {
     require(!schema.fieldNames.contains(name), s"column $name already exists in the table")
     require(idCols.nonEmpty && idCols.forall(schema.fieldNames.contains),
       s"idCols must name existing columns: $idCols")
-    writeMeta(spark, storeDir, GenMeta(name, exprSql, idCols))
+    // meta is written LAST: it is the commit marker. A crash mid-add
+    // (bad expression, executor failure) must not leave a column that
+    // exists() reports but whose _state read crashes.
     compute(spark, storeDir, schema, GenMeta(name, exprSql, idCols), shards = None)
     fingerprints(spark, storeDir)
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(statePath(storeDir, name))
+    writeMeta(spark, storeDir, GenMeta(name, exprSql, idCols))
   }
 
   /** Shards whose main-store fingerprint changed since the generated

@@ -344,12 +344,21 @@ object Lineage {
     */
   def refreshManifest(spark: SparkSession, outDir: String): Unit = {
     val now = System.currentTimeMillis()
-    val stats = StoreLayout.chunkStats(spark, outDir)
+    val byShard = StoreLayout.chunkStats(spark, outDir)
       .groupBy("shard")
       .agg(sum("nRows").as("nRows"), sum("nBytes").as("nBytes"), sum("cBytes").as("cBytes"))
       .collect()
-      .map(r => ShardManifest(r.getInt(0), -1, r.getLong(1), r.getLong(2), r.getLong(3), 0L, now))
-    spark.createDataset(stats.toSeq)(Encoders.product[ShardManifest])
+      .map(r => r.getInt(0) -> ShardManifest(r.getInt(0), -1, r.getLong(1), r.getLong(2), r.getLong(3), 0L, now))
+      .toMap
+    // PRESERVE the shard universe: the manifest's one-row-per-shard
+    // invariant (incl. shards a delete emptied) is what storeShardCount
+    // — and therefore upsert's key hashing — relies on. Rebuilding from
+    // chunk stats alone would drop empty shards and silently shrink the
+    // hash modulus.
+    val universe = completedShards(spark, outDir) ++ byShard.keySet
+    val stats = universe.toSeq.sorted.map(sh =>
+      byShard.getOrElse(sh, ShardManifest(sh, -1, 0L, 0L, 0L, 0L, now)))
+    spark.createDataset(stats)(Encoders.product[ShardManifest])
       .repartition(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(outDir))
   }
 

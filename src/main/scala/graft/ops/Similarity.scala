@@ -126,7 +126,10 @@ object Similarity {
     */
   def writeBucketedStore(df: DataFrame, idCol: String, vecCol: String, outDir: String,
                          nPlanes: Int = 12, seed: Long = 7L, axis: Boolean = false): Unit = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val first = df.select(size(col(vecCol))).limit(1).collect()
+    require(first.nonEmpty && !first(0).isNullAt(0),
+      s"writeBucketedStore needs at least one non-null $vecCol vector to derive the dimension")
+    val dim = first(0).getInt(0)
     val ps = if (axis) axisPlanes(nPlanes, dim) else planes(nPlanes, dim, seed)
     df.select(col(idCol), col(vecCol),
         bucketCol(col(vecCol), ps).as("bucket"))

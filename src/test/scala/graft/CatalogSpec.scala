@@ -71,6 +71,10 @@ class CatalogSpec extends SparkTestBase {
     cat.setMeta("/t", Map("owner" -> "pipeline", "note" -> "v1"))
     cat.setMeta("/t", Map("note" -> "v2"))
     assert(cat.getMeta("/t") == Map("owner" -> "pipeline", "note" -> "v2"))
+    // literal backslash followed by n/t must survive (single-pass unescape)
+    cat.setMeta("/t", Map("win" -> "C:\\nightly\\tools", "nl" -> "a\nb"))
+    assert(cat.getMeta("/t")("win") == "C:\\nightly\\tools")
+    assert(cat.getMeta("/t")("nl") == "a\nb")
 
     cat.put("/tree/a", docs, Seq("doc_id"), nShards = 2, nBatches = 1)
     cat.put("/tree/b/c", emb, Seq("vec_id"), nShards = 2, nBatches = 1)

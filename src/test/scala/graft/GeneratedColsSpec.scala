@@ -66,4 +66,17 @@ class GeneratedColsSpec extends SparkTestBase {
     // idempotent: second refresh is a no-op
     assert(GeneratedCols.refresh(spark, dir, df.schema, "v2").isEmpty)
   }
+  test("refreshManifest preserves empty shards: the upsert hash modulus is stable") {
+    import spark.implicits._
+    // 3 distinct keys over 8 shards → several shards are empty from the
+    // start; the manifest must keep one row per shard regardless
+    val df = (0 until 3).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    Lineage.encodeResumable(spark, df, dir, idCols = Seq("id"), nShards = 8, nBatches = 1)
+    assert(Lineage.storeShardCount(spark, dir).contains(8))
+    Lineage.refreshManifest(spark, dir)
+    assert(Lineage.storeShardCount(spark, dir).contains(8),
+      "refreshManifest dropped empty shards — upsert would hash keys with the wrong modulus")
+  }
 }
+

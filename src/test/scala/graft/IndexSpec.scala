@@ -114,6 +114,26 @@ class IndexSpec extends SparkTestBase {
     assert(h(res) == h(expect))
   }
 
+  test("store probes work on tables with struct columns (flat-leaf addressing)") {
+    import org.apache.spark.sql.functions.struct
+    val nested = df.select(col("row_id"),
+      struct(col("repo"), col("lang")).as("meta"), col("content"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested-idx").toString
+    graft.encode.StoreLayout.write(
+      TableCodec.encode(nested, chunkRows = 100),
+      TableCodec.encodedNames(nested.schema), dir)
+    // zone lookup on a top-level column of a nested table
+    val byZone = graft.encode.MetaIndex.lookup(spark, dir, nested.schema, "row_id", "100", "199")
+    assert(byZone.count() == 100)
+    assert(byZone.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // FULL index + positional gather on a DOTTED LEAF column
+    IndexStore.createFull(spark, dir, nested.schema, "meta.repo")
+    val target = df.select("repo").orderBy("repo").head().getString(0)
+    val viaIndex = IndexStore.rangeGather(spark, dir, nested.schema, "meta.repo", target, target)
+    assert(viaIndex.count() == df.filter(col("repo") === target).count())
+    assert(viaIndex.select("meta.repo").distinct().head().getString(0) == target)
+  }
+
   test("BUCKET index equality probe is exact and prunes chunks") {
     val target = df.select("commit").head().getString(0)
     val viaBucket = IndexStore.bucketProbe(spark, storeDir, df.schema, "commit", target)

@@ -45,11 +45,14 @@ class StoreLayoutSpec extends SparkTestBase {
   // parquet's Hadoop vectored IO reads data pages through positioned
   // range reads that bypass the FileSystem thread statistics feeding
   // inputMetrics.bytesRead (only footer reads get counted) — disable it
-  // here so the byte counters reflect real page IO. Measurement-only;
-  // the production path keeps vectored IO.
-  spark.sparkContext.hadoopConfiguration.setBoolean("parquet.hadoop.vectored.io.enabled", false)
-
+  // ONLY around each measurement (the session is shared JVM-wide across
+  // suites; a suite-lifetime mutation would change the IO path every
+  // later suite runs under). Measurement-only; production keeps
+  // vectored IO.
   private def bytesRead(body: => Unit): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = conf.get("parquet.hadoop.vectored.io.enabled")
+    conf.setBoolean("parquet.hadoop.vectored.io.enabled", false)
     val acc = new AtomicLong
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -61,7 +64,11 @@ class StoreLayoutSpec extends SparkTestBase {
     try {
       body
       org.apache.spark.sql.graftshim.TestListenerShim.waitUntilEmpty(spark.sparkContext)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      if (prior == null) conf.unset("parquet.hadoop.vectored.io.enabled")
+      else conf.set("parquet.hadoop.vectored.io.enabled", prior)
+    }
     acc.get()
   }
 

@@ -58,6 +58,13 @@ class ValidationSpec extends SparkTestBase {
     Validation.validate(df.filter(col("id") === 1), rules) // no throw
   }
 
+  test("empty input passes validation: zero violations, no NPE") {
+    val empty = df.filter(col("id") < 0)
+    Validation.validate(empty, rules) // must not throw
+    val rep = Validation.report(empty, rules).collect()
+    assert(rep.length == 3 && rep.forall(_.getLong(2) == 0L))
+  }
+
   test("partition splits valid/violating without losing rows") {
     val (good, bad) = Validation.partition(df, rules)
     assert(good.count() + bad.count() == df.count())
