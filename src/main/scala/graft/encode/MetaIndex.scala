@@ -72,6 +72,12 @@ object MetaIndex {
     * doubles: rounding is monotonic, so drift can only ADMIT extra
     * chunks near 2^53 boundaries, never wrongly prune.
     */
+  /** Zone-intersection predicate over (dt, minKey, maxKey) metadata.
+    * Numeric keys compare as doubles: longs beyond 2^53 lose precision,
+    * but the rounding is monotonic, so drift can only ADMIT extra
+    * boundary chunks (the exact post-decode filter removes them) —
+    * never wrongly prune. Safe by construction.
+    */
   def intersectsExpr(lo: String, hi: String): Column = {
     val unbounded = col("minKey") === "" && col("maxKey") === ""
     val isNum = col("dt").isin(numericDts: _*) || col("dt").startsWith("decimal")
@@ -100,12 +106,21 @@ object MetaIndex {
     */
   def readCandidates(spark: SparkSession, storeDir: String, colName: String,
                      lo: String, hi: String, names: Seq[String] = null): Dataset[EncodedBlock] = {
-    val keys = candidateKeys(spark, storeDir, colName, lo, hi)
-    val collected = keys.limit(MAX_PUSHDOWN_KEYS + 1).collect()
-    if (collected.length <= MAX_PUSHDOWN_KEYS)
-      StoreLayout.readBlocksByKeys(spark, storeDir,
-        collected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq, names)
+    // repeated probes with the same predicate skip the metadata scan:
+    // candidate coordinates come from the store-version-keyed LRU
+    // (QueryCache — the reference's result-coordinate cache analog)
+    val ck = QueryCache.key(spark, storeDir, "zone", colName, lo, hi)
+    val coords = QueryCache.getOrCompute(ck) {
+      val collected = candidateKeys(spark, storeDir, colName, lo, hi)
+        .limit(MAX_PUSHDOWN_KEYS + 1).collect()
+      if (collected.length <= MAX_PUSHDOWN_KEYS)
+        collected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      else null // too many survivors to push or cache — semi-join path
+    }
+    if (coords != null)
+      StoreLayout.readBlocksByKeys(spark, storeDir, coords.toSeq, names)
     else {
+      val keys = candidateKeys(spark, storeDir, colName, lo, hi)
       val df = spark.read.parquet(storeDir)
       val fields = Option(names).map(_.map(StoreLayout.fieldName))
         .getOrElse(StoreLayout.storeColFields(df.schema))

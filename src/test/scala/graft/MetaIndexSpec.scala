@@ -121,4 +121,28 @@ class MetaIndexSpec extends SparkTestBase {
     assert(math.abs(ratio - n.toDouble / c) < 1e-9)
     assert(ratio > 1.5, s"corpus should compress, got $ratio")
   }
+
+  test("repeated probes hit the coordinate cache; a mutation invalidates it") {
+    import graft.encode.QueryCache
+    import graft.lineage.Lineage
+    // fresh store so mutation does not disturb the shared fixture
+    val d2 = df.limit(600)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qcache").toString
+    Lineage.encodeResumable(spark, d2, dir, idCols = Seq("repo", "path", "commit"),
+      nShards = 4, nBatches = 1)
+    val target = d2.select("lang").orderBy("lang").head().getString(0)
+    QueryCache.clear()
+    val before = (QueryCache.hits.get(), QueryCache.misses.get())
+    val n1 = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
+    val n2 = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
+    assert(n1 == n2 && n1 > 0)
+    assert(QueryCache.misses.get() == before._2 + 1, "first probe should miss once")
+    assert(QueryCache.hits.get() >= before._1 + 1, "second probe should hit the cache")
+    // CoW delete changes the store version -> stale coordinates are not served
+    val deleted = Lineage.deleteWhere(spark, dir, d2.schema, col("lang") === target)
+    assert(deleted == n1)
+    val after = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
+    assert(after == 0, s"cache served stale coordinates: $after rows after delete")
+  }
 }
+
