@@ -697,6 +697,23 @@ object Queries {
       |FROM lineitem WHERE l_orderkey < 2000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** CSV interop roundtrip (reference from_csv/to_csv, ctable.py:8682/
+    * :8577): write the table as csv, read it back under the explicit
+    * schema, and hand every value to the oracle — which reads the
+    * ORIGINAL parquet, so the comparison proves the csv writer/reader
+    * pair is lossless for this table.
+    */
+  def q21CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-csv-${Integer.toHexString(dir.hashCode)}"
+    docs.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(p)
+    s.read.schema(docs.schema).option("header", "true").option("escape", "\"").csv(p)
+      .orderBy("doc_id")
+  }
+
+  val q21Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   /** Nested-type roundtrip: a NULLABLE struct column (flattened to
     * dotted leaf columns with a `__null` companion at encode,
     * reassembled by a Catalyst projection at decode — Nested.scala;
@@ -952,6 +969,7 @@ object Queries {
     "q18_math" -> (q18Math _),
     "q19_semi_anti" -> (q19SemiAnti _),
     "q20_validate" -> (q20Validate _),
+    "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1003,6 +1021,7 @@ object Queries {
     "q18_math" -> q18Sql,
     "q19_semi_anti" -> q19Sql,
     "q20_validate" -> q20Sql,
+    "q21_csv_roundtrip" -> q21Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
