@@ -53,6 +53,12 @@ object Lineage {
   val BROADCAST_KEYS_CONF = "graft.upsert.broadcastMaxKeys"
   val BROADCAST_KEYS_DEFAULT = 1000000L
 
+  /** Physical plan of the most recent upsert's anti-join (strategy
+    * diagnostics; the join runs inside the encode RDD so it emits no
+    * SQL-execution event of its own).
+    */
+  @volatile var lastUpsertJoinPlan: String = ""
+
   def manifestPath(outDir: String): String = s"$outDir/_manifest"
 
   def completedShards(spark: SparkSession, outDir: String): Set[Int] = {
@@ -323,6 +329,10 @@ object Lineage {
     val maxBcast = spark.conf.getOption(BROADCAST_KEYS_CONF).map(_.toLong).getOrElse(BROADCAST_KEYS_DEFAULT)
     val probe = if (newCount <= maxBcast) broadcast(keyOnly) else keyOnly
     val kept = old.join(probe, idCols, "left_anti")
+    // observability: the join executes inside the encode stage's RDD
+    // lineage (no SQL execution event carries it), so record the
+    // planned strategy here for diagnostics and the plan-shape spec
+    lastUpsertJoinPlan = kept.queryExecution.executedPlan.toString
     val merged = kept.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*)
       .unionByName(sharded.select((schema.fieldNames.map(col) :+ col(SHARD_COL)): _*))
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
