@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   gencol add <encodedDir> <name> <exprSql>              materialize generated column
   *   gencol refresh <encodedDir> <name>                    recompute stale shards only
   *   gencol stale <encodedDir> <name>                      list stale shards
+  *   catalog put|get|ls|rm <root> ...                      hierarchical table catalog
   *
   * On a real cluster the same jar runs unchanged: all stages are
   * shuffle-free mapPartitions (encode/decode/verify) or manifest-sized
@@ -149,6 +150,39 @@ object GraftJob {
       val spark = session("graft-gencol")
       val shards = GeneratedCols.staleShards(spark, dir, name)
       println(s"""{"job":"gencol-stale","name":"$name","staleShards":[${shards.mkString(",")}]}""")
+      spark.stop()
+
+    // catalog put <root> <key> <inParquet> <idCols,csv>  — encode a table into the catalog
+    // catalog get <root> <key> <outParquet>              — decode a catalog table
+    // catalog ls  <root> [path]                          — list children (key, table?)
+    // catalog rm  <root> <key>                           — delete subtree
+    case "catalog" :: "put" :: root :: key :: in :: ids :: Nil =>
+      val spark = session("graft-catalog")
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(in)
+      new graft.catalog.Catalog(spark, root).put(key, df, ids.split(",").toSeq)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"catalog-put","key":"$key","rows":${df.count()},"sec":$sec%.2f}""")
+      spark.stop()
+
+    case "catalog" :: "get" :: root :: key :: out :: Nil =>
+      val spark = session("graft-catalog")
+      val df = new graft.catalog.Catalog(spark, root).get(key)
+      df.write.mode(SaveMode.Overwrite).parquet(out)
+      println(s"""{"job":"catalog-get","key":"$key","rows":${spark.read.parquet(out).count()},"out":"$out"}""")
+      spark.stop()
+
+    case "catalog" :: "ls" :: root :: rest =>
+      val spark = session("graft-catalog")
+      val cs = new graft.catalog.Catalog(spark, root).children(rest.headOption.getOrElse("/"))
+      val items = cs.map { case (k, t) => s"""{"key":"$k","table":$t}""" }.mkString(",")
+      println(s"""{"job":"catalog-ls","children":[$items]}""")
+      spark.stop()
+
+    case "catalog" :: "rm" :: root :: key :: Nil =>
+      val spark = session("graft-catalog")
+      val ok = new graft.catalog.Catalog(spark, root).delete(key)
+      println(s"""{"job":"catalog-rm","key":"$key","deleted":$ok}""")
       spark.stop()
 
     case other =>
