@@ -62,7 +62,7 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     * reference's object-subtree rule.
     */
   def put(key: String, df: DataFrame, idCols: Seq[String], nShards: Int = 64,
-          nBatches: Int = 8): Unit = {
+          nBatches: Int = 8): Lineage.RunSummary = {
     requireWritable(s"put($key)")
     val k = normalize(key)
     val segs = k.split("/").filter(_.nonEmpty)
@@ -73,12 +73,13 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     require(contains(k) || children(k).isEmpty,
       s"cannot create a table at interior node $k (it has children)")
     if (contains(k)) { fs.delete(new org.apache.hadoop.fs.Path(dirOf(k)), true); () }
-    Lineage.encodeResumable(spark, df, dirOf(k), idCols, nShards = nShards, nBatches = nBatches)
+    val summary = Lineage.encodeResumable(spark, df, dirOf(k), idCols, nShards = nShards, nBatches = nBatches)
     val meta =
       s"""{"schemaDdl":${jsonStr(df.schema.json)},"idCols":[${idCols.map(jsonStr).mkString(",")}]}"""
     val out = fs.create(entryPath(k), true)
     out.write(meta.getBytes("UTF-8"))
     out.close()
+    summary
   }
 
   final case class Entry(key: String, schema: StructType, idCols: Seq[String])

@@ -70,13 +70,8 @@ object MetaIndex {
   /** zone [minKey,maxKey] intersects [lo,hi]? (Catalyst expression over
     * the zoneMeta columns; dt-aware compare.) Long keys are compared as
     * doubles: rounding is monotonic, so drift can only ADMIT extra
-    * chunks near 2^53 boundaries, never wrongly prune.
-    */
-  /** Zone-intersection predicate over (dt, minKey, maxKey) metadata.
-    * Numeric keys compare as doubles: longs beyond 2^53 lose precision,
-    * but the rounding is monotonic, so drift can only ADMIT extra
-    * boundary chunks (the exact post-decode filter removes them) —
-    * never wrongly prune. Safe by construction.
+    * chunks near 2^53 boundaries (the exact post-decode filter removes
+    * them), never wrongly prune.
     */
   def intersectsExpr(lo: String, hi: String): Column = {
     val unbounded = col("minKey") === "" && col("maxKey") === ""

@@ -7,13 +7,19 @@ import org.apache.spark.sql.SparkSession
   * coordinate cache (python-blosc2 indexing.py:86-110). A repeated
   * probe with the same predicate skips the metadata scan entirely.
   *
-  * Invalidation is by STORE VERSION, not explicit hooks: the version is
-  * the max modification time over the store's direct children (shard
-  * partition dirs, `_manifest`, `_index`, ...) — one cheap driver
-  * listStatus, no Spark job. Every mutation path (CoW partition
-  * overwrite, manifest refresh, index rebuild) touches at least one
-  * direct child dir, so a stale entry can never be served after a
-  * mutation; an unrelated version bump merely costs a recompute.
+  * Invalidation is belt-and-braces:
+  *  - EXPLICIT: every in-process mutation path (CoW rewrites via
+  *    Lineage.dropDerived, resumable encode) calls `invalidate` — the
+  *    authoritative signal for the driver that performed the mutation;
+  *  - VERSIONED: cache keys embed the max modification time over the
+  *    store's direct children (one driver listStatus, no Spark job),
+  *    which catches mutations by OTHER processes on filesystems with
+  *    faithful child mtimes. Caveat, stated honestly: object stores
+  *    whose synthetic directory entries keep constant mtimes, or local
+  *    filesystems with coarse mtime granularity, may not bump the
+  *    version for an out-of-process mutation — cross-process writers
+  *    should call `invalidate`/`clear` or disable caching; the explicit
+  *    hook fully covers the single-driver case.
   *
   * Only candidate sets small enough for the pushed-keys path are cached
   * (≤ MAX_PUSHDOWN_KEYS coordinates, ≈16 bytes each) — the cache is
@@ -44,16 +50,34 @@ object QueryCache {
   def key(spark: SparkSession, storeDir: String, parts: String*): String =
     s"$storeDir@${version(spark, storeDir)}|${parts.mkString("|")}"
 
-  /** Cached coordinates for `k`, or compute-and-cache. `compute` may
-    * return null to signal "too large to cache" (cached as absent).
+  /** Sentinel for a NEGATIVE entry: "this predicate's candidate set is
+    * too large to push/cache" — cached so repeated non-selective probes
+    * do not re-pay the limit-collect metadata scan just to re-learn it.
+    */
+  private val TOO_LARGE = new Array[(Int, Int, Long)](0)
+
+  /** Cached coordinates for `k`, or compute-and-cache. `compute`
+    * returns null to signal "too large" — the verdict itself is cached
+    * (as a sentinel) and null is returned to this and future callers.
     */
   def getOrCompute(k: String)(compute: => Array[(Int, Int, Long)]): Array[(Int, Int, Long)] = {
     val cached = lru.synchronized(lru.get(k))
-    if (cached != null) { hits.incrementAndGet(); return cached }
+    if (cached != null) {
+      hits.incrementAndGet()
+      return if (cached eq TOO_LARGE) null else cached
+    }
     misses.incrementAndGet()
     val v = compute
-    if (v != null) lru.synchronized { lru.put(k, v); () }
+    lru.synchronized { lru.put(k, if (v == null) TOO_LARGE else v); () }
     v
+  }
+
+  /** Drop every entry of `storeDir` (any version) — called by
+    * in-process mutation paths.
+    */
+  def invalidate(storeDir: String): Unit = lru.synchronized {
+    val it = lru.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(storeDir + "@")) it.remove()
   }
 
   def clear(): Unit = lru.synchronized(lru.clear())

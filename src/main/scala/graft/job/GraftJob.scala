@@ -160,16 +160,16 @@ object GraftJob {
       val spark = session("graft-catalog")
       val t0 = System.nanoTime()
       val df = spark.read.parquet(in)
-      new graft.catalog.Catalog(spark, root).put(key, df, ids.split(",").toSeq)
+      val sum = new graft.catalog.Catalog(spark, root).put(key, df, ids.split(",").toSeq)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"job":"catalog-put","key":"$key","rows":${df.count()},"sec":$sec%.2f}""")
+      println(f"""{"job":"catalog-put","key":"$key","rows":${sum.nRows},"sec":$sec%.2f}""")
       spark.stop()
 
     case "catalog" :: "get" :: root :: key :: out :: Nil =>
       val spark = session("graft-catalog")
       val df = new graft.catalog.Catalog(spark, root).get(key)
       df.write.mode(SaveMode.Overwrite).parquet(out)
-      println(s"""{"job":"catalog-get","key":"$key","rows":${spark.read.parquet(out).count()},"out":"$out"}""")
+      println(s"""{"job":"catalog-get","key":"$key","out":"$out"}""")
       spark.stop()
 
     case "catalog" :: "ls" :: root :: rest =>

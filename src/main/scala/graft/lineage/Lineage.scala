@@ -53,9 +53,11 @@ object Lineage {
   val BROADCAST_KEYS_CONF = "graft.upsert.broadcastMaxKeys"
   val BROADCAST_KEYS_DEFAULT = 1000000L
 
-  /** Physical plan of the most recent upsert's anti-join (strategy
-    * diagnostics; the join runs inside the encode RDD so it emits no
-    * SQL-execution event of its own).
+  /** INITIAL physical plan of the most recent upsert's anti-join
+    * (diagnostics only: pre-AQE strategy of the standalone join, which
+    * may differ from the adaptively-final plan inside the encode RDD;
+    * last-write-wins under concurrent upserts). The join itself emits
+    * no SQL-execution event, hence this hook.
     */
   @volatile var lastUpsertJoinPlan: String = ""
 
@@ -154,6 +156,7 @@ object Lineage {
       wall += wallMs
       batchIdx += 1
     }
+    graft.encode.QueryCache.invalidate(outDir)
     RunSummary(pending.size, done.size, rows, nb, cb, wall)
   }
 
@@ -382,6 +385,7 @@ object Lineage {
     * (GeneratedCols._state) go stale and refresh recomputes them.
     */
   private def dropDerived(spark: SparkSession, outDir: String): Unit = {
+    graft.encode.QueryCache.invalidate(outDir)
     Seq("_index", "_offsets").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$d")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -705,9 +705,16 @@ object Queries {
     */
   def q21CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft-csv-${Integer.toHexString(dir.hashCode)}"
-    docs.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(p)
-    s.read.schema(docs.schema).option("header", "true").option("escape", "\"").csv(p)
+    // per-JVM path: concurrent Verify runs on one host must not share
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+      s"${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
+    // multiLine: quoted embedded newlines parse as one record;
+    // explicit nullValue marker: "" (empty string) stays distinct from
+    // NULL across the roundtrip
+    val opts = Map("header" -> "true", "escape" -> "\"", "nullValue" -> "\\N",
+      "multiLine" -> "true")
+    docs.write.mode("overwrite").options(opts).csv(p)
+    s.read.schema(docs.schema).options(opts).csv(p)
       .orderBy("doc_id")
   }
 

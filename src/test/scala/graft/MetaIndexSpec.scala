@@ -138,11 +138,20 @@ class MetaIndexSpec extends SparkTestBase {
     assert(n1 == n2 && n1 > 0)
     assert(QueryCache.misses.get() == before._2 + 1, "first probe should miss once")
     assert(QueryCache.hits.get() >= before._1 + 1, "second probe should hit the cache")
-    // CoW delete changes the store version -> stale coordinates are not served
+    // CoW delete invalidates -> no rows
     val deleted = Lineage.deleteWhere(spark, dir, d2.schema, col("lang") === target)
     assert(deleted == n1)
     val after = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
     assert(after == 0, s"cache served stale coordinates: $after rows after delete")
+    // ADDITIVE mutation is the discriminating case: a stale cache would
+    // keep serving the PRE-upsert coordinates and miss the new rows
+    // entirely (the delete-only check passes even with broken
+    // invalidation, since stale chunks also lack the value)
+    import org.apache.spark.sql.functions.lit
+    val reAdd = d2.limit(3).withColumn("lang", lit(target))
+    Lineage.upsert(spark, dir, d2.schema, reAdd, Seq("repo", "path", "commit"))
+    val found = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
+    assert(found == 3, s"stale cache hid upserted rows: found $found of 3")
   }
 }
 
