@@ -436,6 +436,42 @@ object Queries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the scale path: candidates
+    * come from a sign-LSH bucket PROBE-EXPANSION self-join (each vector
+    * expands to its bucket + hamming-1 neighbors and equi-joins the
+    * other side's bucket — never an all-pairs product), exact cosine
+    * only on candidates. Axis-aligned planes make the candidate rule
+    * SQL-expressible, so the oracle recomputes candidates AND verdicts
+    * independently (brute-force at oracle scale).
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ps = Similarity.axisPlanes(6, 64)
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      Similarity.bucketCol(col("embedding"), ps).as("bucket"))
+    val probes = withB.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      explode(array(col("bucket") +:
+        (0 until 6).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+    val right = withB.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("bucket").as("b_b"))
+    probes.join(right, col("probe") === col("b_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineCol(col("emb_a"), col("emb_b")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  lazy val dedupEmbeddingSql: String =
+    s"""WITH b AS ($axisBucketSql),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.embedding, b2.embedding), 4) AS cosine,
+      |    bit_count(xor(a.bucket, b2.bucket)) AS ham
+      |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id)
+      |SELECT id_a, id_b, cosine FROM pairs
+      |WHERE ham <= 1 AND cosine >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
@@ -981,6 +1017,7 @@ object Queries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_cosine" -> (simTopK _),
     "sim_lsh_buckets" -> (simLshBuckets _),
     "sim_ann_store_topk" -> (simAnnStoreTopK _),
@@ -1049,6 +1086,7 @@ object Queries {
     "dict_isin_scan" -> dictIsinScanSql,
     "store_slice" -> storeSliceSql,
     "sim_ann_axis_topk" -> simAnnAxisTopKSql,
-    "sim_ann_recall" -> simAnnRecallSql
+    "sim_ann_recall" -> simAnnRecallSql,
+    "dedup_embedding" -> dedupEmbeddingSql
   )
 }

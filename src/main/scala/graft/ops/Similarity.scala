@@ -34,6 +34,14 @@ object Similarity {
     sqrt(aggregate(zip_with(vecCol.cast("array<double>"), vecCol.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x))
 
+  /** cosine(a, b) for two vector COLUMNS (codegen'd, no UDF). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (norm(a) * norm(b))
+  }
+
   def cosineLit(vecCol: Column, q: Array[Float]): Column = {
     val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
     dotLit(vecCol, q) / (norm(vecCol) * lit(qn))
