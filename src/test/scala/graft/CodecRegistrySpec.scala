@@ -73,4 +73,24 @@ class CodecRegistrySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no codec is registered"))
   }
+
+  test("registerFilter wraps a plain byte transform incl. null and empty cells") {
+    val FID: Byte = 41
+    // rot13-ish reversible transform: add 13 mod 256 per byte
+    CodecRegistry.registerFilter(FID, "add13",
+      forward = v => v.map(b => ((b + 13) & 0xff).toByte),
+      inverse = v => v.map(b => ((b - 13) & 0xff).toByte))
+    val vec = BinVec(
+      Array[Array[Byte]]("alpha".getBytes, null, Array.emptyByteArray, "omega-9".getBytes),
+      Array(true, false, true, true))
+    for (plan <- CodecRegistry.binKernelOrThrow(FID).plans(FID)) {
+      val back = ChunkCodec.decode(ChunkCodec.encode(vec, plan)).asInstanceOf[BinVec]
+      assert(back.n == 4)
+      assert(java.util.Arrays.equals(back.values(0), "alpha".getBytes))
+      assert(!back.isValid(1), "null cell must survive the filter")
+      assert(back.values(2).length == 0, "empty cell must stay empty, not become null")
+      assert(java.util.Arrays.equals(back.values(3), "omega-9".getBytes))
+    }
+  }
 }
+

@@ -48,6 +48,45 @@ class StreamingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("batch-partitioned streaming store: keyed ops refuse it; compact enables them") {
+    val in = Files.createTempDirectory("graft-cpt-in").toString
+    val out = Files.createTempDirectory("graft-cpt-raw").toString
+    val ckpt = Files.createTempDirectory("graft-cpt-ckpt").toString
+    val compacted = Files.createTempDirectory("graft-cpt-done").toString
+
+    val all = Corpus.generate(spark, 400, 2).toDF()
+    all.filter(pmod(xxhash64(col("path")), lit(2)) === 0).write.parquet(s"$in/a")
+    StreamingEncode.start(spark, s"$in/*", out, ckpt, all.schema, chunkRows = 64)
+      .awaitTermination(120000)
+    all.filter(pmod(xxhash64(col("path")), lit(2)) === 1).write.parquet(s"$in/b")
+    StreamingEncode.start(spark, s"$in/*", out, ckpt, all.schema, chunkRows = 64)
+      .awaitTermination(120000)
+
+    // keyed operations must refuse the batch= store loudly: (shard,
+    // partId, chunkId) is not unique across batches
+    intercept[IllegalArgumentException] {
+      graft.index.IndexStore.createFull(spark, out, all.schema, "repo")
+    }
+    intercept[IllegalArgumentException] {
+      graft.index.IndexStore.slice(spark, out, all.schema, 0L, 10L)
+    }
+
+    StreamingEncode.compact(spark, out, compacted)
+    // compacted store: identical content, keyed ops work
+    val decoded = TableCodec.decode(
+      graft.encode.StoreLayout.readBlocks(spark, compacted), all.schema)
+    assert(decoded.count() == 400)
+    val a = all.select(sum(crc32(sha2(col("content"), 256)))).head().getLong(0)
+    val b = decoded.select(sum(crc32(sha2(col("content"), 256)))).head().getLong(0)
+    assert(a == b, "compaction must copy payloads bit-identically")
+    graft.index.IndexStore.createFull(spark, compacted, all.schema, "repo")
+    val target = all.select("repo").orderBy("repo").head().getString(0)
+    val viaIndex = graft.index.IndexStore.rangeGather(
+      spark, compacted, all.schema, "repo", target, target)
+    assert(viaIndex.count() == all.filter(col("repo") === target).count())
+    assert(graft.index.IndexStore.slice(spark, compacted, all.schema, 10L, 25L).count() == 25)
+  }
+
   test("watermarked tumbling-window aggregation over a rate-like stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
