@@ -447,16 +447,22 @@ object Queries {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val ps = Similarity.axisPlanes(6, 64)
+    // norms are computed ONCE per vector, before the join — inside the
+    // join each candidate pair pays only the dot product (norm-per-pair
+    // would triple the per-candidate element work)
     val withB = emb.select(col("vec_id"), col("embedding"),
-      Similarity.bucketCol(col("embedding"), ps).as("bucket"))
+      Similarity.bucketCol(col("embedding"), ps).as("bucket"),
+      Similarity.norm(col("embedding")).as("nrm"))
     val probes = withB.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"),
       explode(array(col("bucket") +:
         (0 until 6).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
     val right = withB.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("bucket").as("b_b"))
+      col("nrm").as("nrm_b"), col("bucket").as("b_b"))
     probes.join(right, col("probe") === col("b_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosineCol(col("emb_a"), col("emb_b")), 4).as("cosine"))
+        round(Similarity.dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("id_a", "id_b")
   }
