@@ -69,6 +69,12 @@ object CodecRegistry {
     * prefilter position); decode applies the inverse after it (the
     * postfilter position). The wrapped kernel competes in the
     * Selector's cost model like any plugin.
+    *
+    * `forward` MUST be total over arbitrary byte arrays (the Selector
+    * validates plans only on a SAMPLE — a transform that throws on
+    * full-chunk values it never sampled fails the encode job). Gate
+    * domain-specific transforms with `offerIf` instead of relying on
+    * forward to reject.
     */
   def registerFilter(id: Byte, filterName: String,
                      forward: Array[Byte] => Array[Byte],

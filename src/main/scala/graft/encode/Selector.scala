@@ -67,7 +67,7 @@ object Selector {
             Plan(Method.DICT, Entropy.ZSTD, ZSTD_LEVEL),
             Plan(Method.DICT, Entropy.NONE),
             Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_HIGH)
-          )
+          ) ++ pluginPlans
         else {
           // small byte alphabet (hex commits, base32 ids…) → bit-pack;
           // validated on the FULL chunk so the encode can't fail later

@@ -453,10 +453,15 @@ object Queries {
     val withB = emb.select(col("vec_id"), col("embedding"),
       Similarity.bucketCol(col("embedding"), ps).as("bucket"),
       Similarity.norm(col("embedding")).as("nrm"))
+    // NOTE: the exploded side carries the embedding (nPlanes+1 copies
+    // through the join shuffle). That is the right tradeoff when
+    // candidate pairs outnumber exploded rows (dense small-bucket
+    // regime, as here); when near-dups are RARE at scale, explode only
+    // (id, probe) and re-join embeddings by id after the bucket match.
     val probes = withB.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"),
       explode(array(col("bucket") +:
-        (0 until 6).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+        ps.indices.map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
     val right = withB.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"), col("bucket").as("b_b"))
     probes.join(right, col("probe") === col("b_b") && col("id_a") < col("id_b"))

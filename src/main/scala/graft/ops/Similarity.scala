@@ -40,12 +40,6 @@ object Similarity {
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
-  /** cosine(a, b) for two vector COLUMNS. Prefer precomputing `norm`
-    * per side when a or b participates in many pairs (a join) — this
-    * form recomputes both norms per row.
-    */
-  def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (norm(a) * norm(b))
 
   def cosineLit(vecCol: Column, q: Array[Float]): Column = {
     val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
