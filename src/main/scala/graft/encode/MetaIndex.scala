@@ -84,6 +84,30 @@ object MetaIndex {
     unbounded || when(isNum, numHit).otherwise(strHit)
   }
 
+  /** One-sided variants for predicates with a single bound (x >= lo /
+    * x <= hi): same dt-aware compare, the missing side unbounded.
+    * Strict inequalities use the closed form — conservative (may admit
+    * a boundary-only chunk; the exact filter removes it), never prunes
+    * wrongly.
+    */
+  def intersectsLoExpr(lo: String): Column = {
+    val unbounded = col("minKey") === "" && col("maxKey") === ""
+    val isNum = col("dt").isin(numericDts: _*) || col("dt").startsWith("decimal")
+    val maxD = when(col("maxKey") === "", lit(Double.PositiveInfinity)).otherwise(col("maxKey").cast("double"))
+    val numHit = maxD >= lit(lo).cast("double")
+    val strHit = col("maxKey") === "" || col("maxKey") >= lit(lo)
+    unbounded || when(isNum, numHit).otherwise(strHit)
+  }
+
+  def intersectsHiExpr(hi: String): Column = {
+    val unbounded = col("minKey") === "" && col("maxKey") === ""
+    val isNum = col("dt").isin(numericDts: _*) || col("dt").startsWith("decimal")
+    val minD = when(col("minKey") === "", lit(Double.NegativeInfinity)).otherwise(col("minKey").cast("double"))
+    val numHit = minD <= lit(hi).cast("double")
+    val strHit = col("minKey") === "" || col("minKey") <= lit(hi)
+    unbounded || when(isNum, numHit).otherwise(strHit)
+  }
+
   /** Chunk keys whose zone on `colName` intersects [lo, hi] — a
     * metadata-only query.
     */

@@ -427,6 +427,11 @@ object ColBuilder {
     private var validity: Array[Boolean] = null
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
+    // NaN never enters mn/mx (v < mn and v > mx are both false), yet
+    // Spark SQL orders NaN ABOVE every double — a bounded zone could
+    // wrongly prune a chunk whose only matches are NaN when probing a
+    // NaN bound. NaN presence forces unbounded keys.
+    private var sawNaN = false
 
     @inline private def ensure(): Unit = {
       if (n == values.length) {
@@ -444,6 +449,7 @@ object ColBuilder {
       } else {
         val v = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
         if (validity != null) validity(n) = true
+        if (v.isNaN) sawNaN = true
         if (v < mn) mn = v
         if (v > mx) mx = v
         values(n) = v
@@ -454,10 +460,10 @@ object ColBuilder {
     def result(): ColVec =
       DoubleVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
-    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity }
+    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawNaN = false }
     def rawBytes: Long = n.toLong * (if (isFloat) 4L else 8L)
-    def minKey: String = if (mn.isPosInfinity) "" else mn.toString
-    def maxKey: String = if (mx.isNegInfinity) "" else mx.toString
+    def minKey: String = if (sawNaN || mn.isPosInfinity) "" else mn.toString
+    def maxKey: String = if (sawNaN || mx.isNegInfinity) "" else mx.toString
   }
 
   private final class BinBuilder(kind: Int, elemType: DataType = null,

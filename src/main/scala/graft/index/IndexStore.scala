@@ -218,16 +218,31 @@ object IndexStore {
     * (shard, partId, chunkId, nRows, startOff) beside the manifest, so
     * positional reads never collect the full chunk listing to the
     * driver (at 100 TB that listing is ~3M rows). Built lazily on first
-    * slice, dropped by CoW mutations (Lineage.dropDerived). The build's
-    * global running sum is one window task over O(chunks) metadata rows
-    * — executor-side, not driver memory.
+    * slice, dropped by CoW mutations (Lineage.dropDerived).
+    *
+    * The running sum is DISTRIBUTED: per-shard totals (one tiny agg,
+    * O(nShards) rows to the driver) prefix-summed into per-shard bases,
+    * then a shard-partitioned window adds the within-shard prefix — no
+    * single task ever sees more than one shard's chunk rows (an
+    * unpartitioned global window at 100 TB / 32 MiB chunks would be
+    * one ~3M-row task).
     */
   def refreshOffsets(spark: SparkSession, storeDir: String): Unit = {
-    val w = Window.orderBy("shard", "partId", "chunkId")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    spark.read.parquet(storeDir)
+    val meta = spark.read.parquet(storeDir)
       .select("shard", "partId", "chunkId", "nRows")
-      .withColumn("startOff", coalesce(sum(col("nRows").cast("long")).over(w), lit(0L)))
+    val totals = meta.groupBy("shard")
+      .agg(sum(col("nRows").cast("long")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (s, t) => val b = acc; acc += t; (s, b) }
+    val baseDf = spark.createDataFrame(bases.toSeq).toDF("shard", "shardBase")
+    val w = Window.partitionBy("shard").orderBy("partId", "chunkId")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    meta
+      .withColumn("inShard", coalesce(sum(col("nRows").cast("long")).over(w), lit(0L)))
+      .join(broadcast(baseDf), Seq("shard"))
+      .withColumn("startOff", col("shardBase") + col("inShard"))
+      .select("shard", "partId", "chunkId", "nRows", "startOff")
       .write.mode("overwrite").parquet(offsetsPath(storeDir))
   }
 
@@ -269,13 +284,25 @@ object IndexStore {
     * gather exactly k rows from the store.
     */
   def sortedTopK(spark: SparkSession, storeDir: String, schema: StructType,
-                 colName: String, k: Int, ascending: Boolean = true): DataFrame = {
+                 colName: String, k: Int, ascending: Boolean = true): DataFrame =
+    sortedSlice(spark, storeDir, schema, colName, 0L, k, ascending)
+
+  /** Arbitrary window [offset, offset+k) of the index order (the
+    * reference's sorted_slice window read, ctable.py:11840-11960):
+    * offset+limit run on the NARROW index rows (Spark's offset/limit
+    * pushes into the sort — no wide row is ever ordered), then exactly
+    * k rows are gathered from the store.
+    */
+  def sortedSlice(spark: SparkSession, storeDir: String, schema: StructType,
+                  colName: String, offset: Long, k: Int, ascending: Boolean = true): DataFrame = {
+    require(offset >= 0 && k >= 0, s"bad window [$offset, ${offset + k})")
     val idx = spark.read.parquet(fullPath(storeDir, colName))
     val ordered = if (ascending)
       idx.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))
     else idx.orderBy(col("key").desc, col("shard"), col("partId"), col("chunkId"), col("pos"))
-    val top = ordered.limit(k).select("shard", "partId", "chunkId", "pos").collect()
-    val byChunk = top.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val win = ordered.offset(offset.toInt).limit(k)
+      .select("shard", "partId", "chunkId", "pos").collect()
+    val byChunk = win.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       .map { case (kk, rs) => kk -> rs.map(_.getInt(3)).sorted }
     gather(spark, storeDir, schema, byChunk)
   }

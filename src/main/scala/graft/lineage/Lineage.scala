@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *    cbytes, wall) is appended to `<out>/_manifest`;
   *  - on restart, shards already in the manifest are skipped.
   *
-  * Scale: the manifest is O(nShards) tiny rows; input filtering is a
-  * hash-predicate on the scan (no shuffle added beyond the optional
-  * clustering the caller requests).
+  * Scale: the manifest is O(nShards) tiny rows. The source is read
+  * ONCE for any batch count: multi-batch runs stage the sharded rows
+  * to `<out>/_stage` partitioned by a stable batch id (the shard-hash
+  * predicate is not pushable into any source format, so per-batch
+  * source re-scans would cost nBatches × input at 100 TB), and each
+  * batch reads only its pruned stage partition. A crashed run's stage
+  * is reused on resume — the remaining batches read zero source bytes.
   */
 object Lineage {
 
@@ -45,6 +49,21 @@ object Lineage {
   )
 
   val SHARD_COL = "__graft_shard"
+
+  /** Batch-partition column of the staged input (no leading underscore:
+    * partition DIRECTORIES named `_...=N` would be hidden from parquet
+    * discovery).
+    */
+  val BATCH_COL = "graft_stage_batch"
+
+  def stagePath(outDir: String): String = s"$outDir/_stage"
+
+  /** Stable shard→batch assignment (contiguous balanced ranges): stable
+    * across runs, so a resumed run maps the crashed run's staged
+    * partitions to the same batches.
+    */
+  def batchOf(shard: Int, nShards: Int, nBatches: Int): Int =
+    ((shard.toLong * nBatches) / nShards).toInt
 
   /** Above this many upsert keys the anti-join side is not broadcast
     * (a 100M-key broadcast OOMs every executor); AQE picks the join.
@@ -107,27 +126,65 @@ object Lineage {
     // (Unconditional: a crash in the FIRST batch's window leaves data
     // with an EMPTY manifest — on a truly fresh run the dirs simply
     // don't exist and the delete is a no-op.)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     if (pending.nonEmpty) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
       pending.foreach { sh =>
         val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$sh")
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
-    val batches = pending.grouped(math.max(1, (pending.size + nBatches - 1) / nBatches)).toSeq
+    // stable shard→batch groups of the pending shards: a batch is one
+    // atomic unit of work (data append + manifest append)
+    val batchGroups: Seq[(Int, Seq[Int])] =
+      pending.groupBy(batchOf(_, nShards, nBatches)).toSeq.sortBy(_._1)
 
     val sharded = input.withColumn(
       SHARD_COL,
       pmod(xxhash64(idCols.map(col): _*), lit(nShards)).cast("int"))
 
+    // SINGLE source scan for any nBatches: with more than one batch
+    // ahead, stage the sharded pending rows ONCE under <out>/_stage,
+    // partitioned by the stable batch id — each batch then reads only
+    // its own partition directory (pruned), so total IO is one source
+    // read + one stage write + one stage read, instead of nBatches
+    // source scans (the shard-hash predicate is not pushable into any
+    // source format). The stage survives a crash: a resumed run reuses
+    // it and reads ZERO source bytes for the remaining batches.
+    val stageDir = stagePath(outDir)
+    val staged = stageValid(spark, outDir, nShards, nBatches, pending)
+    val useStage = staged || batchGroups.size > 1
+    if (useStage && !staged) {
+      require(!input.columns.contains(BATCH_COL),
+        s"input may not contain the reserved column $BATCH_COL")
+      fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+      sharded.filter(col(SHARD_COL).isin(pending.map(Integer.valueOf): _*))
+        .withColumn(BATCH_COL,
+          floor(col(SHARD_COL).cast("long") * nBatches / nShards).cast("int"))
+        .write.partitionBy(BATCH_COL).parquet(stageDir)
+      writeStageMeta(fs, stageDir, nShards, nBatches, pending)
+    }
+
     var rows = 0L; var nb = 0L; var cb = 0L; var wall = 0L
     var batchIdx = 0
-    batches.foreach { shardBatch =>
+    batchGroups.foreach { case (bId, shardBatch) =>
       if (batchIdx >= failAfterBatches)
         throw new RuntimeException(s"[lineage-test] injected failure before batch $batchIdx")
       val t0 = System.nanoTime()
-      val batchDf = sharded.filter(col(SHARD_COL).isin(shardBatch.map(Integer.valueOf): _*))
+      // the stage root starts with '_' (hidden from the store's own
+      // parquet discovery), so address the batch's partition directory
+      // EXPLICITLY — its own name is not hidden, and the read touches
+      // only this batch's files
+      val src =
+        if (useStage) {
+          val bp = new org.apache.hadoop.fs.Path(s"$stageDir/$BATCH_COL=$bId")
+          if (fs.exists(bp)) spark.read.parquet(bp.toString)
+          // absent dir = the batch's shards staged zero rows (still need
+          // their empty-shard manifest rows; limit(0) folds to an empty
+          // relation, no scan)
+          else sharded.limit(0)
+        } else sharded
+      val batchDf = src.filter(col(SHARD_COL).isin(shardBatch.map(Integer.valueOf): _*))
         // cluster rows of a shard together so blocks are shard-pure
         .repartition(math.max(shardBatch.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL)
@@ -144,9 +201,9 @@ object Lineage {
         .collect()
       val now = System.currentTimeMillis()
       val found = stats.map(r => r.getInt(0) ->
-        ShardManifest(r.getInt(0), batchIdx, r.getLong(1), r.getLong(2), r.getLong(3), wallMs, now)).toMap
+        ShardManifest(r.getInt(0), bId, r.getLong(1), r.getLong(2), r.getLong(3), wallMs, now)).toMap
       // shards with zero rows still need a manifest row (done ≠ has data)
-      val manifest = shardBatch.map(s => found.getOrElse(s, ShardManifest(s, batchIdx, 0L, 0L, 0L, wallMs, now)))
+      val manifest = shardBatch.map(s => found.getOrElse(s, ShardManifest(s, bId, 0L, 0L, 0L, wallMs, now)))
       spark.createDataset(manifest)(Encoders.product[ShardManifest])
         .repartition(1).write.mode(SaveMode.Append).parquet(manifestPath(outDir))
 
@@ -156,8 +213,48 @@ object Lineage {
       wall += wallMs
       batchIdx += 1
     }
+    // the stage is scratch space for THIS run — gone once every batch
+    // committed (a no-op resume also clears any leftover)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
     graft.encode.QueryCache.invalidate(outDir)
     RunSummary(pending.size, done.size, rows, nb, cb, wall)
+  }
+
+  private val STAGE_META = "_graft_stage.json"
+
+  /** The stage is reusable iff its commit marker exists with the same
+    * geometry and its staged shard set covers every currently-pending
+    * shard (a crashed run staged a superset of what remains).
+    */
+  private def stageValid(spark: SparkSession, outDir: String,
+                         nShards: Int, nBatches: Int, pending: Seq[Int]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${stagePath(outDir)}/$STAGE_META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val text = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    def num(k: String): Option[Long] =
+      (k + """\s*:\s*(\d+)""").r.findFirstMatchIn(text).map(_.group(1).toLong)
+    val shardsOk = num("\"nShards\"").contains(nShards.toLong) &&
+      num("\"nBatches\"").contains(nBatches.toLong)
+    val stagedSet = """"pending"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+      .getOrElse(Set.empty[Int])
+    shardsOk && pending.forall(stagedSet.contains)
+  }
+
+  /** Written AFTER the stage parquet commit — its existence marks the
+    * stage complete (a crash mid-stage leaves no marker, so resume
+    * re-stages).
+    */
+  private def writeStageMeta(fs: org.apache.hadoop.fs.FileSystem, stageDir: String,
+                             nShards: Int, nBatches: Int, pending: Seq[Int]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$stageDir/$STAGE_META"), true)
+    out.write(
+      s"""{"nShards":$nShards,"nBatches":$nBatches,"pending":[${pending.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    out.close()
   }
 
   /** Copy-on-write delete over the encoded store (the Spark-native
@@ -177,14 +274,15 @@ object Lineage {
       predicate: org.apache.spark.sql.Column,
       chunkRows: Int = TableCodec.CHUNK_ROWS
   ): Long = {
-    // Pass 1 (discovery): ONE decode over the store, emitting only
-    // (shard, n_deleted) — tiny agg output. SQL three-valued logic:
-    // a row is deleted iff the predicate is TRUE (not NULL), so both
-    // the count here and the keep-filter below coalesce NULL→false.
+    // Pass 1 (discovery): decode only what the predicate can touch —
+    // zone-candidate chunks (PredicatePrune; non-candidate shards'
+    // payload bytes are never read) and only the predicate's columns
+    // (v2 layout leaf pruning) — emitting (shard, n_deleted), a tiny
+    // agg. SQL three-valued logic: a row is deleted iff the predicate
+    // is TRUE (not NULL), so both the count here and the keep-filter
+    // below coalesce NULL→false.
     val matched = coalesce(predicate, lit(false))
-    val hits = TableCodec.decode(readBlocks(spark, outDir), schema, shardColName = Some(SHARD_COL))
-      .groupBy(col(SHARD_COL))
-      .agg(sum(matched.cast("long")).as("n_del"))
+    val hits = discoveryCounts(spark, outDir, schema, predicate, matched, "n_del")
       .filter(col("n_del") > 0)
       .collect()
     if (hits.isEmpty) return 0L
@@ -253,9 +351,7 @@ object Lineage {
       s"SET may not target identity columns ${set.keys.filter(idCols.contains)} — " +
         "delete + re-append instead (the shard is the identity hash)")
     val matched = coalesce(predicate, lit(false))
-    val hits = TableCodec.decode(readBlocks(spark, outDir), schema, shardColName = Some(SHARD_COL))
-      .groupBy(col(SHARD_COL))
-      .agg(sum(matched.cast("long")).as("n_upd"))
+    val hits = discoveryCounts(spark, outDir, schema, predicate, matched, "n_upd")
       .filter(col("n_upd") > 0)
       .collect()
     if (hits.isEmpty) return 0L
@@ -348,6 +444,29 @@ object Lineage {
     val afterRows = metaRows()
     val replaced = oldRows + newCount - afterRows
     (replaced, newCount - replaced)
+  }
+
+  /** Shared CoW discovery pass: per-shard match counts of `matched`
+    * (= predicate with NULL→false), decoding ONLY zone-candidate
+    * chunks and ONLY the predicate's own columns. Sound because a
+    * non-candidate chunk cannot contain a predicate-TRUE row (zone
+    * pruning is conservative) and the count needs no other columns.
+    */
+  private def discoveryCounts(
+      spark: SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column,
+      matched: org.apache.spark.sql.Column,
+      alias: String): DataFrame = {
+    val passSchema = graft.encode.PredicatePrune.referencedColumns(spark, schema, predicate)
+      .map(ns => org.apache.spark.sql.types.StructType(ns.map(schema(_))))
+      .getOrElse(schema)
+    val blocks = graft.encode.PredicatePrune.candidateBlocks(
+      spark, outDir, schema, predicate, TableCodec.encodedNames(passSchema))
+    TableCodec.decode(blocks, passSchema, shardColName = Some(SHARD_COL))
+      .groupBy(col(SHARD_COL))
+      .agg(sum(matched.cast("long")).as(alias))
   }
 
   /** Refresh the derived per-shard manifest stats after CoW mutations

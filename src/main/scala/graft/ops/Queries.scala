@@ -421,6 +421,21 @@ object Queries {
     Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Bucket assignment under AXIS-ALIGNED planes — the same bucketing
+    * code path as `sim_lsh_buckets` (only the plane constants differ),
+    * but SQL-expressible, so DuckDB independently recomputes every
+    * vector's bucket.
+    */
+  def simLshAxisBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ps = Similarity.axisPlanes(6, 64)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.bucketCol(col("embedding"), ps).cast("long").as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  lazy val simLshAxisBucketsSql: String =
+    s"""SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM ($axisBucketSql) ORDER BY vec_id""".stripMargin
+
   /** ANN top-k served from the bucket-partitioned store (partition
     * pruning reads only the probe buckets; rows-only — bucket
     * membership is not SQL-expressible).
@@ -768,6 +783,31 @@ object Queries {
   val q21Sql: String =
     """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
 
+  /** argmin/argmax named aggregates + sample covariance (reference
+    * groupby argmin/argmax, groupby.py:238-314; ctable.py:6772 cov).
+    * The max_by/min_by ORDERING key is made UNIQUE
+    * (l_orderkey*10 + l_linenumber, linenumber < 10) so the arg row is
+    * deterministic in both engines — max_by on a tied key is
+    * engine-arbitrary and would flap the oracle hash.
+    */
+  def q22ArgMinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("max_by(l_extendedprice, l_orderkey * 10 + l_linenumber)").as("last_price"),
+        expr("min_by(l_extendedprice, l_orderkey * 10 + l_linenumber)").as("first_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  val q22Sql: String =
+    """SELECT l_returnflag,
+      |  max_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price,
+      |  min_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Nested-type roundtrip: a NULLABLE struct column (flattened to
     * dotted leaf columns with a `__null` companion at encode,
     * reassembled by a Catalyst projection at decode — Nested.scala;
@@ -930,6 +970,23 @@ object Queries {
     """SELECT doc_id, n_chars FROM documents
       |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Arbitrary sorted window served from the FULL index (reference
+    * sorted_slice window read, ctable.py:11840): the offset+limit run
+    * on narrow index rows, then exactly k wide rows are gathered.
+    * Only the key column is emitted so boundary ties (n_chars is not
+    * unique) compare as the same multiset under ANY tie order — the
+    * window's VALUE content is deterministic even though the row
+    * identities at tied boundaries are not.
+    */
+  def indexSortedSlice(s: SparkSession, dir: String): DataFrame =
+    graft.index.IndexStore.sortedSlice(s, docStore(s, dir), docsSchema(s, dir),
+        "n_chars", 300L, 50, ascending = true)
+      .select("n_chars")
+      .orderBy("n_chars")
+
+  val indexSortedSliceSql: String =
+    """SELECT n_chars FROM documents ORDER BY n_chars LIMIT 50 OFFSET 300""".stripMargin
+
   /** Equality probe through the BUCKET index: decode only chunks whose
     * bucket set contains the probe bucket.
     */
@@ -1024,6 +1081,7 @@ object Queries {
     "q19_semi_anti" -> (q19SemiAnti _),
     "q20_validate" -> (q20Validate _),
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
+    "q22_argminmax" -> (q22ArgMinMax _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1031,6 +1089,7 @@ object Queries {
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_cosine" -> (simTopK _),
     "sim_lsh_buckets" -> (simLshBuckets _),
+    "sim_lsh_axis_buckets" -> (simLshAxisBuckets _),
     "sim_ann_store_topk" -> (simAnnStoreTopK _),
     "sim_ann_axis_topk" -> (simAnnAxisTopK _),
     "sim_ann_recall" -> (simAnnRecall _),
@@ -1049,6 +1108,7 @@ object Queries {
     "store_point_lookup" -> (storePointLookup _),
     "index_range_lookup" -> (indexRangeLookup _),
     "index_sorted_topk" -> (indexSortedTopK _),
+    "index_sorted_slice" -> (indexSortedSlice _),
     "index_bucket_eq" -> (indexBucketEq _),
     "index_multi_col" -> (indexMultiCol _),
     "dict_isin_scan" -> (dictIsinScan _),
@@ -1077,6 +1137,7 @@ object Queries {
     "q19_semi_anti" -> q19Sql,
     "q20_validate" -> q20Sql,
     "q21_csv_roundtrip" -> q21Sql,
+    "q22_argminmax" -> q22Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
@@ -1092,10 +1153,12 @@ object Queries {
     "store_point_lookup" -> storePointLookupSql,
     "index_range_lookup" -> indexRangeLookupSql,
     "index_sorted_topk" -> indexSortedTopKSql,
+    "index_sorted_slice" -> indexSortedSliceSql,
     "index_bucket_eq" -> indexBucketEqSql,
     "index_multi_col" -> indexMultiColSql,
     "dict_isin_scan" -> dictIsinScanSql,
     "store_slice" -> storeSliceSql,
+    "sim_lsh_axis_buckets" -> simLshAxisBucketsSql,
     "sim_ann_axis_topk" -> simAnnAxisTopKSql,
     "sim_ann_recall" -> simAnnRecallSql,
     "dedup_embedding" -> dedupEmbeddingSql

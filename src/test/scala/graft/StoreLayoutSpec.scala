@@ -2,9 +2,7 @@ package graft
 
 import graft.encode.{StoreLayout, TableCodec}
 import graft.index.{DictFilter, IndexStore}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
-import java.util.concurrent.atomic.AtomicLong
 
 /** The v2 store layout's core scale claim, asserted at the BYTE level:
   * single-column operations (zone prune, dict filter, index build) read
@@ -42,35 +40,8 @@ class StoreLayoutSpec extends SparkTestBase {
     dir
   }
 
-  // parquet's Hadoop vectored IO reads data pages through positioned
-  // range reads that bypass the FileSystem thread statistics feeding
-  // inputMetrics.bytesRead (only footer reads get counted) — disable it
-  // ONLY around each measurement (the session is shared JVM-wide across
-  // suites; a suite-lifetime mutation would change the IO path every
-  // later suite runs under). Measurement-only; production keeps
-  // vectored IO.
-  private def bytesRead(body: => Unit): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val prior = conf.get("parquet.hadoop.vectored.io.enabled")
-    conf.setBoolean("parquet.hadoop.vectored.io.enabled", false)
-    val acc = new AtomicLong
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) { acc.addAndGet(m.inputMetrics.bytesRead); () }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      body
-      org.apache.spark.sql.graftshim.TestListenerShim.waitUntilEmpty(spark.sparkContext)
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      if (prior == null) conf.unset("parquet.hadoop.vectored.io.enabled")
-      else conf.set("parquet.hadoop.vectored.io.enabled", prior)
-    }
-    acc.get()
-  }
+  // bytesRead is inherited from SparkTestBase (vectored-IO-disabled
+  // task-metrics accumulation)
 
   test("store roundtrips bit-identically through the pivoted layout") {
     val decoded = TableCodec.decode(StoreLayout.readBlocks(spark, storeDir), df.schema)
