@@ -59,7 +59,16 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     * a table may not live beneath another table (the parent store's
     * parquet scan would swallow the child's files) nor on an interior
     * node that already has children — a Spark-native tightening of the
-    * reference's object-subtree rule.
+    * reference's object-subtree rule. The leaf-key checks are
+    * check-then-act filesystem reads, ADVISORY under concurrent
+    * writers to overlapping keys (concurrent puts to nested keys can
+    * both pass); puts to unrelated keys never conflict.
+    *
+    * Replacement is crash-safe: the new table is encoded into a hidden
+    * temp sibling and swapped in AFTER its `_entry.json` is written, so
+    * a crash mid-put leaves the previous version either live or parked
+    * in a recoverable hidden `_put-old-*` directory — never deleted
+    * before the replacement is complete.
     */
   def put(key: String, df: DataFrame, idCols: Seq[String], nShards: Int = 64,
           nBatches: Int = 8): Lineage.RunSummary = {
@@ -72,13 +81,24 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     }
     require(contains(k) || children(k).isEmpty,
       s"cannot create a table at interior node $k (it has children)")
-    if (contains(k)) { fs.delete(new org.apache.hadoop.fs.Path(dirOf(k)), true); () }
-    val summary = Lineage.encodeResumable(spark, df, dirOf(k), idCols, nShards = nShards, nBatches = nBatches)
+    val target = new org.apache.hadoop.fs.Path(dirOf(k))
+    val parent = target.getParent
+    val tag = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(parent, s"_put-tmp-$tag")
+    val summary = Lineage.encodeResumable(spark, df, tmp.toString, idCols,
+      nShards = nShards, nBatches = nBatches)
     val meta =
       s"""{"schemaDdl":${jsonStr(df.schema.json)},"idCols":[${idCols.map(jsonStr).mkString(",")}]}"""
-    val out = fs.create(entryPath(k), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ENTRY), true)
     out.write(meta.getBytes("UTF-8"))
     out.close()
+    // swap: park the old version (hidden), promote the complete new one,
+    // only then drop the old
+    val old = new org.apache.hadoop.fs.Path(parent, s"_put-old-$tag")
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"put($k): could not park old version")
+    require(fs.rename(tmp, target), s"put($k): could not promote new version")
+    if (fs.exists(old)) { fs.delete(old, true); () }
     summary
   }
 
@@ -92,9 +112,12 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     in.close()
     val ddl = """"schemaDdl":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .getOrElse(throw new IllegalStateException(s"bad $ENTRY at $k: $text")).group(1)
-    val ids = """"idCols":\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
-      .getOrElse(throw new IllegalStateException(s"bad $ENTRY at $k: $text")).group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    // quoted-string extraction + unescape (a naive comma split would
+    // corrupt id column names containing quotes, commas or backslashes)
+    val ids = """"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(""""idCols":\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(s"bad $ENTRY at $k: $text")).group(1))
+      .map(m => unescape(m.group(1))).toSeq
     Entry(k, DataType.fromJson(unescape(ddl)).asInstanceOf[StructType], ids)
   }
 
@@ -104,9 +127,10 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     TableCodec.decode(StoreLayout.readBlocks(spark, dirOf(e.key)), e.schema)
   }
 
-  /** Direct children of `path`: (key, isTable). Interior nodes may
-    * themselves be tables (a table can have sub-tables, like the
-    * reference's object subtrees).
+  /** Direct children of `path`: (key, isTable). Tables are leaf keys
+    * (enforced by put), so an interior node is never itself a table —
+    * the isTable flag distinguishes table leaves from plain interior
+    * directories.
     */
   def children(path: String): Seq[(String, Boolean)] = {
     val base = if (path == "/" || path.isEmpty) root else dirOf(path)

@@ -40,7 +40,7 @@ object MetaIndex {
     * are never in the scan's ReadSchema (asserted in MetaIndexSpec).
     */
   def zoneMeta(spark: SparkSession, storeDir: String): DataFrame = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     val fields = StoreLayout.storeColFields(df.schema)
     df.select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
         explode(array(fields.map(f => struct(
@@ -56,7 +56,7 @@ object MetaIndex {
     */
   def zoneMetaFor(spark: SparkSession, storeDir: String, colName: String): DataFrame = {
     val f = StoreLayout.fieldName(colName)
-    spark.read.parquet(storeDir)
+    Snapshots.storeDf(spark, storeDir)
       .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
         col(s"$f.name").as("name"), col(s"$f.dt").as("dt"),
         col(s"$f.minKey").as("minKey"), col(s"$f.maxKey").as("maxKey"))
@@ -140,7 +140,7 @@ object MetaIndex {
       StoreLayout.readBlocksByKeys(spark, storeDir, coords.toSeq, names)
     else {
       val keys = candidateKeys(spark, storeDir, colName, lo, hi)
-      val df = spark.read.parquet(storeDir)
+      val df = Snapshots.storeDf(spark, storeDir)
       val fields = Option(names).map(_.map(StoreLayout.fieldName))
         .getOrElse(StoreLayout.storeColFields(df.schema))
       StoreLayout.assemble(

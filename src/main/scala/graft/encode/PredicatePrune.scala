@@ -167,7 +167,7 @@ object PredicatePrune {
         if (keys.length <= MetaIndex.MAX_PUSHDOWN_KEYS)
           StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, names)
         else {
-          val df = spark.read.parquet(storeDir)
+          val df = Snapshots.storeDf(spark, storeDir)
           val fields = Option(names).map(_.map(StoreLayout.fieldName))
             .getOrElse(StoreLayout.storeColFields(df.schema))
           StoreLayout.assemble(

@@ -1,0 +1,158 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Reader-snapshot safety for copy-on-write mutations — the
+  * Spark-native analog of the reference's single-writer-multi-reader
+  * story (python-blosc2 schunk.py:524-543 `refresh`/`change_tick`,
+  * storage.py:211-231 advisory `.b2lock`), redesigned around immutable
+  * files instead of in-place refresh:
+  *
+  *  - data files are IMMUTABLE once written; a CoW mutation only ADDS
+  *    files, then commits a new version listing under `_snapshots/`
+  *    (`v<N>.txt`, one store-relative path per line) via write-temp +
+  *    atomic rename;
+  *  - every store read resolves the CURRENT listing (storeDf), so a
+  *    scan planned at version N keeps reading version N's files even
+  *    while a writer commits N+1 — a reader sees the old store or the
+  *    new one, never a mix;
+  *  - replaced files are retained until an explicit `vacuum` (which
+  *    also reaps half-committed mutations: files no version references);
+  *  - single WRITER remains the caller's contract, exactly as in the
+  *    reference.
+  *
+  * Stores without a `_snapshots/` directory (pure-append stores, test
+  * fixtures, streaming `batch=` stores) read the directory itself —
+  * zero overhead until the first mutation enables versioning.
+  */
+object Snapshots {
+
+  def snapDir(storeDir: String): String = s"$storeDir/_snapshots"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val VFILE = """v(\d+)\.txt""".r
+
+  def currentVersion(spark: SparkSession, storeDir: String): Option[Long] = {
+    val fs = fsOf(spark, storeDir)
+    val p = new Path(snapDir(storeDir))
+    if (!fs.exists(p)) return None
+    val vs = fs.listStatus(p).map(_.getPath.getName).collect { case VFILE(n) => n.toLong }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def enabled(spark: SparkSession, storeDir: String): Boolean =
+    currentVersion(spark, storeDir).isDefined
+
+  /** The file listing of `version` (store-relative paths). */
+  def listing(spark: SparkSession, storeDir: String, version: Long): Seq[String] = {
+    val fs = fsOf(spark, storeDir)
+    val p = new Path(f"${snapDir(storeDir)}/v$version%09d.txt")
+    require(fs.exists(p), s"no snapshot v$version under $storeDir")
+    val in = fs.open(p)
+    val text = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Commit `files` (store-relative) as the next version; returns it.
+    * Temp-write + rename: the version becomes visible atomically or
+    * not at all.
+    */
+  def commit(spark: SparkSession, storeDir: String, files: Seq[String]): Long = {
+    val fs = fsOf(spark, storeDir)
+    val next = currentVersion(spark, storeDir).getOrElse(0L) + 1L
+    val dir = new Path(snapDir(storeDir))
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val target = new Path(dir, f"v$next%09d.txt")
+    require(fs.rename(tmp, target), s"snapshot commit rename failed: $target")
+    next
+  }
+
+  /** Physical data files currently under the store's shard partitions
+    * (store-relative) — the pre-snapshot ground truth.
+    */
+  def dataFiles(spark: SparkSession, storeDir: String): Seq[String] = {
+    val fs = fsOf(spark, storeDir)
+    val root = new Path(storeDir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+      }.toSeq.sorted
+  }
+
+  /** The current listing, enabling versioning first if the store has
+    * none (v1 = whatever is physically present).
+    */
+  def ensureListing(spark: SparkSession, storeDir: String): Seq[String] =
+    currentVersion(spark, storeDir) match {
+      case Some(v) => listing(spark, storeDir, v)
+      case None =>
+        val files = dataFiles(spark, storeDir)
+        commit(spark, storeDir, files)
+        files
+    }
+
+  /** The store as a DataFrame at the CURRENT version (plain directory
+    * read when versioning is not enabled).
+    */
+  def storeDf(spark: SparkSession, storeDir: String): DataFrame =
+    currentVersion(spark, storeDir) match {
+      case None => spark.read.parquet(storeDir)
+      case Some(v) => storeDfAt(spark, storeDir, v)
+    }
+
+  /** The store as a DataFrame PINNED at `version` — immune to
+    * concurrent mutations until a vacuum reaps that version's files.
+    */
+  def storeDfAt(spark: SparkSession, storeDir: String, version: Long): DataFrame = {
+    val files = listing(spark, storeDir, version).map(f => s"$storeDir/$f")
+    if (files.isEmpty)
+      // preserve schema for an empty version: read the dir, keep no rows
+      spark.read.parquet(storeDir).limit(0)
+    else
+      spark.read.option("basePath", storeDir).parquet(files: _*)
+  }
+
+  /** Shard id of a store-relative data file path. */
+  def shardOf(relPath: String): Int = {
+    val m = """shard=(\d+)/""".r.findFirstMatchIn(relPath)
+    require(m.isDefined, s"not a shard data file: $relPath")
+    m.get.group(1).toInt
+  }
+
+  /** Delete every physical data file the CURRENT version does not
+    * reference (replaced by CoW mutations, or orphaned by a mutation
+    * that crashed before its commit), and drop superseded version
+    * files. Readers pinned to old versions lose their files — run
+    * vacuum when no such reader remains (the reference's single-writer
+    * contract). Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, storeDir: String): Long = {
+    val cur = currentVersion(spark, storeDir)
+      .getOrElse(return 0L)
+    val keep = listing(spark, storeDir, cur).toSet
+    val fs = fsOf(spark, storeDir)
+    var n = 0L
+    dataFiles(spark, storeDir).filterNot(keep).foreach { f =>
+      if (fs.delete(new Path(s"$storeDir/$f"), false)) n += 1
+    }
+    val dir = new Path(snapDir(storeDir))
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case VFILE(v) if v.toLong < cur => fs.delete(p, false); ()
+        case _ => ()
+      }
+    }
+    n
+  }
+}

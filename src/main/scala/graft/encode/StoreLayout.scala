@@ -80,7 +80,7 @@ object StoreLayout {
     * selects every chunk-struct column found in the store schema.
     */
   def readStoreRows(spark: SparkSession, storeDir: String, names: Seq[String] = null): DataFrame = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     val sel = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
     df.select(KEY_COLS.map(col) ++ sel.map(col): _*)
   }
@@ -99,7 +99,7 @@ object StoreLayout {
     */
   def readBlocks(spark: SparkSession, storeDir: String, names: Seq[String] = null,
                  shards: Option[Seq[Int]] = None): Dataset[EncodedBlock] = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     val fields = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
     val filtered = shards match {
       case Some(s) => df.filter(col("shard").isin(s.map(Integer.valueOf): _*))
@@ -108,13 +108,22 @@ object StoreLayout {
     assemble(filtered, fields)
   }
 
+  /** Blocks of a PINNED snapshot version — a reader holding this
+    * Dataset keeps seeing that version's files regardless of concurrent
+    * CoW commits (until a vacuum reaps them). See Snapshots.
+    */
+  def readBlocksAt(spark: SparkSession, storeDir: String, version: Long): Dataset[EncodedBlock] = {
+    val df = Snapshots.storeDfAt(spark, storeDir, version)
+    assemble(df, storeColFields(df.schema))
+  }
+
   /** Read exactly these chunks with the key predicate pushed into the
     * parquet scan (shard → partition-dir pruning, partId/chunkId →
     * row-group stats), carrying only `names`' columns.
     */
   def readBlocksByKeys(spark: SparkSession, storeDir: String, keys: Seq[(Int, Int, Long)],
                        names: Seq[String] = null): Dataset[EncodedBlock] = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     requireNoBatch(df.schema, "readBlocksByKeys")
     val fields = Option(names).map(_.map(fieldName)).getOrElse(storeColFields(df.schema))
     val filtered =
@@ -129,7 +138,7 @@ object StoreLayout {
     * leaves only, payload pages never read.
     */
   def chunkStats(spark: SparkSession, storeDir: String): DataFrame = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     val fields = storeColFields(df.schema)
     df.select(col("shard"), col("nRows"),
       fields.map(f => col(s"$f.nBytes")).reduce(_ + _).as("nBytes"),
@@ -140,7 +149,7 @@ object StoreLayout {
     * sizes) — metadata-only.
     */
   def colStats(spark: SparkSession, storeDir: String): DataFrame = {
-    val df = spark.read.parquet(storeDir)
+    val df = Snapshots.storeDf(spark, storeDir)
     val fields = storeColFields(df.schema)
     df.select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
       explode(array(fields.map(f => struct(

@@ -63,19 +63,35 @@ object TableCodec {
     * carrying the lineage shard id; it is consumed, not encoded.
     * Struct columns are flattened to dotted leaves first (Nested).
     */
+  /** @param truncPrec OPT-IN lossy mantissa truncation per float/double
+    *                   column (the reference's TRUNC_PREC filter,
+    *                   python-blosc2 __init__.py:134-162): value →
+    *                   number of mantissa bits to KEEP (1..52).
+    *                   Truncation happens at the BUILDER, before the
+    *                   zone keys and the roundtrip sha — the store's
+    *                   bit-identity invariant then holds over the
+    *                   QUANTIZED values (exactly the reference's
+    *                   semantics: decompression returns the truncated
+    *                   data), and the zeroed mantissa byte planes
+    *                   collapse under SHUFFLE+entropy. Default: empty —
+    *                   every column stays lossless.
+    */
   def encode(
       df: DataFrame,
       chunkRows: Int = CHUNK_ROWS,
       chunkBytes: Long = CHUNK_BYTES,
-      shardCol: Option[String] = None
+      shardCol: Option[String] = None,
+      truncPrec: Map[String, Int] = Map.empty
   ): Dataset[EncodedBlock] = {
     val work = if (Nested.hasNested(df.schema)) Nested.flatten(df) else df
     val spark = work.sparkSession
     val schema = work.schema
+    truncPrec.keys.foreach(n => require(schema.fieldNames.contains(n),
+      s"truncPrec names unknown column $n"))
     val shardIdx = shardCol.map(schema.fieldIndex)
     val dataFields = schema.fields.zipWithIndex.filter { case (_, i) => !shardIdx.contains(i) }
     val rdd = work.queryExecution.toRdd.mapPartitions { rows =>
-      encodePartition(rows, dataFields, shardIdx, chunkRows, chunkBytes)
+      encodePartition(rows, dataFields, shardIdx, chunkRows, chunkBytes, truncPrec)
     }
     spark.createDataset(rdd)
   }
@@ -85,10 +101,14 @@ object TableCodec {
       fields: Array[(StructField, Int)],
       shardIdx: Option[Int],
       chunkRows: Int,
-      chunkBytes: Long
+      chunkBytes: Long,
+      truncPrec: Map[String, Int] = Map.empty
   ): Iterator[EncodedBlock] = {
     val partId = TaskContext.getPartitionId()
-    val builders = fields.map { case (f, _) => ColBuilder(f.dataType) }
+    val builders = fields.map { case (f, _) => ColBuilder(f.dataType, truncPrec.getOrElse(f.name, 0)) }
+    val planPrefix = fields.map { case (f, _) =>
+      truncPrec.get(f.name).map(k => s"trunc$k+").getOrElse("")
+    }
     val fieldIdx = fields.map(_._2)
     val shardAt = shardIdx.getOrElse(-1)
     var chunkId = 0L
@@ -107,7 +127,7 @@ object TableCodec {
           EncodedCol(
             name = f.name,
             dt = f.dataType.catalogString,
-            plan = plan.label,
+            plan = planPrefix(i) + plan.label,
             nBytes = builders(i).rawBytes,
             cBytes = payload.length.toLong,
             minKey = builders(i).minKey,
@@ -301,7 +321,14 @@ object ColBuilder {
     val STRING = 0; val BINARY = 1; val DECIMAL = 2; val ARRAY = 3; val MAP = 4
   }
 
-  def apply(dt: DataType): ColBuilder = dt match {
+  def apply(dt: DataType, truncBits: Int = 0): ColBuilder = {
+    require(truncBits == 0 || (truncBits >= 1 && truncBits <= 52 &&
+      (dt == DoubleType || dt == FloatType)),
+      s"TRUNC_PREC keeps 1..52 mantissa bits and only applies to float/double, got $truncBits for $dt")
+    applyKind(dt, truncBits)
+  }
+
+  private def applyKind(dt: DataType, truncBits: Int): ColBuilder = dt match {
     case LongType => new LongBuilder(LKind.LONG, 8)
     case IntegerType => new LongBuilder(LKind.INT, 4)
     case ShortType => new LongBuilder(LKind.SHORT, 2)
@@ -311,8 +338,8 @@ object ColBuilder {
     case TimestampType | TimestampNTZType => new LongBuilder(LKind.TS, 8) // micros → DELTA_PACK
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
       new LongBuilder(LKind.DEC, 8, d.precision, d.scale) // unscaled long
-    case DoubleType => new DoubleBuilder(isFloat = false)
-    case FloatType => new DoubleBuilder(isFloat = true)
+    case DoubleType => new DoubleBuilder(isFloat = false, keepMantissa = truncBits)
+    case FloatType => new DoubleBuilder(isFloat = true, keepMantissa = truncBits)
     case StringType => new BinBuilder(BKind.STRING)
     case BinaryType => new BinBuilder(BKind.BINARY)
     case d: DecimalType => new BinBuilder(BKind.DECIMAL, precision = d.precision, scale = d.scale)
@@ -421,7 +448,16 @@ object ColBuilder {
     * byte planes of the widened doubles carry the zero mantissa bytes,
     * which the entropy stage collapses. Logical width stays 4.
     */
-  private final class DoubleBuilder(isFloat: Boolean) extends ColBuilder {
+  /** @param keepMantissa 0 = lossless; 1..52 = TRUNC_PREC quantization
+    *                      (zero the low 52-keep mantissa bits). NaN and
+    *                      infinities pass through untouched (zeroing a
+    *                      NaN's mantissa could forge an infinity); for
+    *                      float32 inputs keep < 23 stays exactly
+    *                      float-representable, keep >= 23 is a no-op.
+    */
+  private final class DoubleBuilder(isFloat: Boolean, keepMantissa: Int = 0) extends ColBuilder {
+    private val truncMask: Long =
+      if (keepMantissa == 0) -1L else ~((1L << (52 - keepMantissa)) - 1)
     private var values = new Array[Double](1024)
     private var n = 0
     private var validity: Array[Boolean] = null
@@ -447,7 +483,11 @@ object ColBuilder {
         validity(n) = false
         values(n) = 0.0
       } else {
-        val v = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
+        val raw = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
+        val v =
+          if (truncMask == -1L || raw.isNaN || raw.isInfinite) raw
+          else java.lang.Double.longBitsToDouble(
+            java.lang.Double.doubleToRawLongBits(raw) & truncMask)
         if (validity != null) validity(n) = true
         if (v.isNaN) sawNaN = true
         if (v < mn) mn = v

@@ -59,7 +59,7 @@ object IndexStore {
     */
   def createFull(spark: SparkSession, storeDir: String, schema: StructType, colName: String): Unit = {
     import graft.codecs.{BinVec, DoubleVec, LongVec}
-    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "createFull")
+    StoreLayout.requireNoBatch(graft.encode.Snapshots.storeDf(spark, storeDir).schema, "createFull")
     val blocks = StoreLayout.readBlocks(spark, storeDir, Seq(colName))
     val out = fullPath(storeDir, colName)
     val dt = MetaIndex.flatOf(schema)(colName).dataType
@@ -108,7 +108,7 @@ object IndexStore {
   def createBucket(spark: SparkSession, storeDir: String, schema: StructType,
                    colName: String, nBuckets: Int = 1 << 14): Unit = {
     import graft.codecs.{BinVec, LongVec}
-    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "createBucket")
+    StoreLayout.requireNoBatch(graft.encode.Snapshots.storeDf(spark, storeDir).schema, "createBucket")
     val blocks = StoreLayout.readBlocks(spark, storeDir, Seq(colName))
     val rdd = blocks.rdd.flatMap { b =>
       val c = b.cols.find(_.name == colName).get
@@ -228,7 +228,7 @@ object IndexStore {
     * one ~3M-row task).
     */
   def refreshOffsets(spark: SparkSession, storeDir: String): Unit = {
-    val meta = spark.read.parquet(storeDir)
+    val meta = graft.encode.Snapshots.storeDf(spark, storeDir)
       .select("shard", "partId", "chunkId", "nRows")
     val totals = meta.groupBy("shard")
       .agg(sum(col("nRows").cast("long")).as("t"))
@@ -268,7 +268,7 @@ object IndexStore {
     */
   def slice(spark: SparkSession, storeDir: String, schema: StructType,
             start: Long, count: Long): DataFrame = {
-    StoreLayout.requireNoBatch(spark.read.parquet(storeDir).schema, "slice")
+    StoreLayout.requireNoBatch(graft.encode.Snapshots.storeDf(spark, storeDir).schema, "slice")
     val posByChunk = overlapChunks(spark, storeDir, start, count).map {
       case (shard, partId, chunkId, n, off) =>
         val lo = math.max(start, off)
@@ -444,7 +444,7 @@ object Planner {
           if (pushable)
             StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, TableCodec.encodedNames(schema))
           else {
-            val df = spark.read.parquet(storeDir)
+            val df = graft.encode.Snapshots.storeDf(spark, storeDir)
             StoreLayout.assemble(
               df.join(cand, Seq("shard", "partId", "chunkId"), "left_semi"),
               TableCodec.encodedNames(schema).map(StoreLayout.fieldName))

@@ -48,7 +48,7 @@ object GeneratedCols {
     * scan schema carries key columns and `sha` leaves, never payloads.
     */
   def fingerprints(spark: SparkSession, storeDir: String): DataFrame = {
-    val df = spark.read.parquet(storeDir)
+    val df = graft.encode.Snapshots.storeDf(spark, storeDir)
     val fields = StoreLayout.storeColFields(df.schema)
     df.select(col("shard"),
         concat_ws(":",

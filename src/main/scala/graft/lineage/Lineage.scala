@@ -216,6 +216,16 @@ object Lineage {
     // the stage is scratch space for THIS run — gone once every batch
     // committed (a no-op resume also clears any leftover)
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+    // snapshot-enabled stores (some CoW mutation happened before this
+    // append run) need the new batches' files in the current listing —
+    // previous listing plus whatever this run added, NEVER the raw
+    // directory state (it may still hold vacuum-pending replaced files)
+    if (pending.nonEmpty) graft.encode.Snapshots.currentVersion(spark, outDir).foreach { v =>
+      val listed = graft.encode.Snapshots.listing(spark, outDir, v).toSet
+      val added = graft.encode.Snapshots.dataFiles(spark, outDir)
+        .filter(f => !listed.contains(f) && pending.contains(graft.encode.Snapshots.shardOf(f)))
+      graft.encode.Snapshots.commit(spark, outDir, (listed ++ added).toSeq)
+    }
     graft.encode.QueryCache.invalidate(outDir)
     RunSummary(pending.size, done.size, rows, nb, cb, wall)
   }
@@ -298,27 +308,7 @@ object Lineage {
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(kept, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
-    // derived data (indexes, offsets) addresses pre-rewrite chunk
-    // positions — drop BEFORE the overwrite commits, so a crash in
-    // between cannot leave a live index over rewritten chunks
-    dropDerived(spark, outDir)
-    withDynamicOverwrite(spark) {
-      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
-      // shards that end up EMPTY after the delete are not touched by
-      // dynamic overwrite — drop their partition dirs explicitly. The
-      // surviving-shard set comes from the just-committed store's
-      // metadata columns (payloads never read), NOT by re-executing the
-      // encode pipeline against the now-replaced file listing.
-      val rewritten = spark.read.parquet(outDir)
-        .filter(col("shard").isin(hitShards.map(Integer.valueOf): _*))
-        .select("shard").distinct().collect().map(_.getInt(0)).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-      hitShards.filterNot(rewritten).foreach { s =>
-        val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$s")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-    }
+    commitCoW(spark, outDir, hitShards.toSet, reencoded, TableCodec.encodedNames(schema))
     deleted
   }
 
@@ -369,10 +359,7 @@ object Lineage {
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(projected, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
-    dropDerived(spark, outDir)
-    withDynamicOverwrite(spark) {
-      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
-    }
+    commitCoW(spark, outDir, hitShards.toSet, reencoded, TableCodec.encodedNames(schema))
     updated
   }
 
@@ -416,7 +403,7 @@ object Lineage {
     // payloads never read) — the only decode of the affected shards is
     // the one inside the rewrite job itself
     def metaRows(): Long = {
-      val r = spark.read.parquet(outDir)
+      val r = graft.encode.Snapshots.storeDf(spark, outDir)
         .filter(col("shard").isin(hitShards.map(Integer.valueOf): _*))
         .agg(sum("nRows")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -437,13 +424,42 @@ object Lineage {
       .repartition(math.max(hitShards.size, spark.sparkContext.defaultParallelism), col(SHARD_COL))
       .sortWithinPartitions(SHARD_COL)
     val reencoded = TableCodec.encode(merged, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
-    dropDerived(spark, outDir)
-    withDynamicOverwrite(spark) {
-      StoreLayout.write(reencoded, TableCodec.encodedNames(schema), outDir, SaveMode.Overwrite)
-    }
+    commitCoW(spark, outDir, hitShards.toSet, reencoded, TableCodec.encodedNames(schema))
     val afterRows = metaRows()
     val replaced = oldRows + newCount - afterRows
     (replaced, newCount - replaced)
+  }
+
+  /** Commit a copy-on-write rewrite of `hitShards` with READER-SNAPSHOT
+    * safety (the reference's SWMR refresh/lock story, schunk.py:524-543
+    * + storage.py:211-231, redesigned around immutable files —
+    * Snapshots): the replacement chunks are APPENDED as new files (old
+    * files untouched), derived data is dropped, and the new version's
+    * file listing — previous listing minus the hit shards' files plus
+    * the appended files — is committed atomically. A reader that
+    * resolved the old listing keeps reading the old, complete store; a
+    * crash anywhere before the commit leaves the old version intact
+    * (orphan files are reaped by Snapshots.vacuum). Replaced files are
+    * retained until an explicit vacuum.
+    */
+  private def commitCoW(
+      spark: SparkSession,
+      outDir: String,
+      hitShards: Set[Int],
+      reencoded: Dataset[EncodedBlock],
+      names: Seq[String]): Unit = {
+    import graft.encode.Snapshots
+    val before = Snapshots.ensureListing(spark, outDir)
+    val pre = Snapshots.dataFiles(spark, outDir).toSet
+    StoreLayout.write(reencoded, names, outDir, SaveMode.Append)
+    val added = Snapshots.dataFiles(spark, outDir).filterNot(pre)
+    val keep = before.filterNot(f => hitShards.contains(Snapshots.shardOf(f))) ++ added
+    // derived data (indexes, offsets) addresses pre-rewrite chunk
+    // positions — drop BEFORE the version commit, so a crash in between
+    // cannot leave a live index over the new version's chunks
+    dropDerived(spark, outDir)
+    Snapshots.commit(spark, outDir, keep)
+    ()
   }
 
   /** Shared CoW discovery pass: per-shard match counts of `matched`

@@ -459,33 +459,10 @@ object Queries {
     * SQL-expressible, so the oracle recomputes candidates AND verdicts
     * independently (brute-force at oracle scale).
     */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val ps = Similarity.axisPlanes(6, 64)
-    // norms are computed ONCE per vector, before the join — inside the
-    // join each candidate pair pays only the dot product (norm-per-pair
-    // would triple the per-candidate element work)
-    val withB = emb.select(col("vec_id"), col("embedding"),
-      Similarity.bucketCol(col("embedding"), ps).as("bucket"),
-      Similarity.norm(col("embedding")).as("nrm"))
-    // NOTE: the exploded side carries the embedding (nPlanes+1 copies
-    // through the join shuffle). That is the right tradeoff when
-    // candidate pairs outnumber exploded rows (dense small-bucket
-    // regime, as here); when near-dups are RARE at scale, explode only
-    // (id, probe) and re-join embeddings by id after the bucket match.
-    val probes = withB.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"),
-      explode(array(col("bucket") +:
-        ps.indices.map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
-    val right = withB.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"), col("bucket").as("b_b"))
-    probes.join(right, col("probe") === col("b_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Similarity.dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
-          .as("cosine"))
-      .filter(col("cosine") >= 0.4)
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.axisPlanes(6, 64), 0.4)
       .orderBy("id_a", "id_b")
-  }
 
   lazy val dedupEmbeddingSql: String =
     s"""WITH b AS ($axisBucketSql),
@@ -1049,8 +1026,11 @@ object Queries {
     */
   def corpusCodecPlans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // derived double column under the lossy TRUNC_PREC filter (opt-in,
+    // reference __init__.py:134-162) so its plan shows in the mix
     val docs = t(s, dir, "documents")
-    TableCodec.encode(docs, chunkRows = 4096)
+      .withColumn("score", sin(col("doc_id").cast("double")) * 1000.0)
+    TableCodec.encode(docs, chunkRows = 4096, truncPrec = Map("score" -> 16))
       .flatMap(b => b.cols.map(c => (c.name, c.plan, c.nBytes, c.cBytes)))
       .toDF("col", "plan", "nBytes", "cBytes")
       .groupBy("col", "plan")

@@ -123,6 +123,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Which path the last nearDupPairs("auto") chose — diagnostics and
+    * plan-shape specs only (last-write-wins under concurrency).
+    */
+  @volatile var lastNearDupMode: String = ""
+
+  /** Exact-cosine near-duplicate pairs (a < b) whose sign-LSH buckets
+    * are within hamming distance 1, via probe expansion (each vector
+    * probes its bucket + single-bit flips and equi-joins the other
+    * side's bucket — never an all-pairs product). Emits
+    * (id_a, id_b, cosine rounded to 4) with cosine >= threshold.
+    *
+    * Two physical shapes with one logical result:
+    *  - dense: the exploded probe side CARRIES the embedding, so each
+    *    candidate pair materializes both vectors inside one join
+    *    (pipelined into the dot product — no further shuffle). Right
+    *    when candidate pairs outnumber exploded rows: the nPlanes+1
+    *    embedding copies through the probe shuffle are cheaper than
+    *    re-joining embeddings onto a larger candidate set.
+    *  - rare: only (id, bucket) explodes — narrow rows through the
+    *    candidate join — and embeddings are re-joined by id afterwards.
+    *    Right when near-dups are RARE at scale (the common 100-TB
+    *    dedup regime): the probe shuffle never carries a vector, and
+    *    embedding copies are paid per candidate pair, not per probe.
+    *  - auto: ONE narrow aggregation builds the bucket histogram; the
+    *    exact candidate-pair count (Σ c²/2 within buckets + Σ c·c'
+    *    across hamming-1 buckets) against the probe fan-out n·(p+1)
+    *    picks the cheaper side.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   ps: Array[Array[Float]], threshold: Double,
+                   mode: String = "auto"): DataFrame = {
+    val p = ps.length
+    val chosen = mode match {
+      case "dense" | "rare" => mode
+      case "auto" =>
+        val counts = df.select(bucketCol(col(vecCol), ps).as("bucket"))
+          .groupBy("bucket").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n = counts.valuesIterator.sum
+        var cp = 0.0
+        counts.foreach { case (b, c) =>
+          cp += c.toDouble * (c - 1).toDouble / 2
+          (0 until p).foreach { i =>
+            val nb = b ^ (1L << i)
+            if (nb > b) counts.get(nb).foreach(c2 => cp += c.toDouble * c2.toDouble)
+          }
+        }
+        if (cp < n.toDouble * (p + 1)) "rare" else "dense"
+      case other => throw new IllegalArgumentException(s"nearDupPairs mode '$other'")
+    }
+    lastNearDupMode = chosen
+    val probeArr = (b: Column) =>
+      explode(array(b +: ps.indices.map(i => b.bitwiseXOR(lit(1L << i))): _*))
+    val cosine = round(dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+
+    val pairs =
+      if (chosen == "dense") {
+        val withB = df.select(col(idCol), col(vecCol),
+          bucketCol(col(vecCol), ps).as("bucket"), norm(col(vecCol)).as("nrm"))
+        val probes = withB.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"),
+          col("nrm").as("nrm_a"), probeArr(col("bucket")).as("probe"))
+        val right = withB.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"),
+          col("nrm").as("nrm_b"), col("bucket").as("b_b"))
+        probes.join(right, col("probe") === col("b_b") && col("id_a") < col("id_b"))
+      } else {
+        val slim = df.select(col(idCol), bucketCol(col(vecCol), ps).as("bucket"))
+        val probes = slim.select(col(idCol).as("id_a"), probeArr(col("bucket")).as("probe"))
+        val cand = probes
+          .join(slim.select(col(idCol).as("id_b"), col("bucket").as("b_b")),
+            col("probe") === col("b_b") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val embA = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"),
+          norm(col(vecCol)).as("nrm_a"))
+        val embB = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"),
+          norm(col(vecCol)).as("nrm_b"))
+        cand.join(embB, Seq("id_b")).join(embA, Seq("id_a"))
+      }
+    pairs.select(col("id_a"), col("id_b"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Persist the bucketed embedding table PARTITIONED BY bucket: at
     * 100 TB a probe touches nPlanes+1 of the 2^nPlanes partition dirs
     * (directory-level pruning), never the full table. The hyperplane

@@ -137,6 +137,67 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall on planted neighbors: $recall (ann=$ann)")
   }
 
+  test("near-dup pairs: rare path matches dense and shuffles fewer bytes; auto picks rare") {
+    // sparse regime: 1024 buckets over 800 vectors → candidate pairs
+    // well under the probe fan-out, so auto must choose 'rare'
+    val dim = 96
+    def vec(seed: Long): Array[Float] = Array.tabulate(dim) { i =>
+      ((graft.corpus.Corpus.mix(seed * 131 + i) >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+    }
+    val noise = (0L until 800L).map(i => (i, vec(i).toSeq))
+    val planted = (0L until 5L).map { i =>
+      val b = vec(i)
+      (10000L + i, b.zip(vec(7000L + i)).map { case (a, p) => a + 0.05f * p }.toSeq)
+    }
+    val df = (noise ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val ps = Similarity.axisPlanes(10, dim)
+
+    def shuffleWritten(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.sql.graftshim.TestListenerShim.waitUntilEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    // pin sort-merge joins: at toy scale every side broadcasts and both
+    // paths would shuffle ~0 bytes, hiding the contrast under test
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(mode: String): (Set[(Long, Long)], Long) = {
+        var rows: Array[org.apache.spark.sql.Row] = null
+        val bytes = shuffleWritten {
+          rows = Similarity.nearDupPairs(df, "vec_id", "embedding", ps, 0.9, mode).collect()
+        }
+        (rows.map(r => (r.getLong(0), r.getLong(1))).toSet, bytes)
+      }
+      val (dense, denseBytes) = run("dense")
+      val (rare, rareBytes) = run("rare")
+      assert(dense == rare, s"paths disagree: dense=$dense rare=$rare")
+      assert(dense == (0L until 5L).map(i => (i, 10000L + i)).toSet,
+        s"planted near-dup pairs not recovered: $dense")
+      assert(rareBytes < (denseBytes * 0.8).toLong,
+        s"rare path must shuffle fewer bytes: rare=$rareBytes dense=$denseBytes")
+      val (_, _) = run("auto")
+      assert(Similarity.lastNearDupMode == "rare",
+        s"auto must pick rare in the sparse regime, got ${Similarity.lastNearDupMode}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", priorAqe)
+    }
+  }
+
   test("LSH buckets are deterministic and bounded") {
     val b1 = Similarity.lshBuckets(embeddings, "vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
