@@ -134,6 +134,46 @@ object StoreLayout {
     assemble(filtered, fields)
   }
 
+  /** Decode-free physical recluster — the reference's `reorder_offsets`
+    * (python-blosc2 schunk.py:1055: permute chunks WITHOUT
+    * recompressing them), Spark-native: chunk ROWS are re-sorted within
+    * each shard by `colName`'s zone key and rewritten as new files. No
+    * payload byte is decoded or re-encoded (the codec never runs — the
+    * rewrite moves opaque struct rows), and chunk identities
+    * (shard, partId, chunkId) are positions-in-name only, NOT file
+    * positions, so FULL/BUCKET indexes and the offsets table stay
+    * VALID across the recluster. Committed as a snapshot version
+    * (readers pin the old file set; vacuum reaps it).
+    *
+    * Why: after many appends a shard's files interleave key ranges;
+    * clustering chunks by zone key packs a range probe's candidate
+    * chunks into few row groups, so the pushed chunk-key predicate
+    * skips more pages.
+    */
+  def recluster(spark: SparkSession, storeDir: String, schema: StructType, colName: String): Unit = {
+    val df = Snapshots.storeDf(spark, storeDir)
+    requireNoBatch(df.schema, "recluster")
+    val f = fieldName(colName)
+    val numeric = graft.encode.MetaIndex.flatOf(schema)(colName).dataType match {
+      case org.apache.spark.sql.types.StringType => false
+      case _ => true
+    }
+    val key = if (numeric)
+      org.apache.spark.sql.functions.when(col(s"$f.minKey") === "", lit(null))
+        .otherwise(col(s"$f.minKey").cast("double"))
+    else col(s"$f.minKey")
+    val before = Snapshots.ensureListing(spark, storeDir)
+    val pre = Snapshots.dataFiles(spark, storeDir).toSet
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), key)
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(storeDir)
+    val added = Snapshots.dataFiles(spark, storeDir).filterNot(pre)
+    require(added.nonEmpty || before.isEmpty, s"recluster of $storeDir wrote no files")
+    QueryCache.invalidate(storeDir)
+    Snapshots.commit(spark, storeDir, added)
+    ()
+  }
+
   /** Per-chunk (nBytes, cBytes) totals across all columns — metadata
     * leaves only, payload pages never read.
     */

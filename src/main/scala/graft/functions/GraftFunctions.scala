@@ -2,10 +2,11 @@ package graft.functions
 
 import graft.core.Bytes
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Catalyst-level surface of the engine (SURVEY.md §2.10): a native
   * Expression that reads encoded-block headers without decoding, and a
@@ -44,9 +45,58 @@ object GraftFunctions {
     override def prettyName: String = "graft_block_raw_len"
   }
 
+  /** dot(a, b) over two `array<float>` columns as a NATIVE codegen'd
+    * expression: one fused loop over the unsafe array data, double
+    * accumulator. The `zip_with`/`aggregate` HOF formulation costs
+    * ~18 ns/element (per-element lambda plumbing + an intermediate
+    * array); this runs at ~1-2 ns/element, and it is the inner loop of
+    * every similarity operator (brute-force top-k, ANN rerank,
+    * near-dup verdicts — millions to billions of pairs at 100 TB).
+    */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float> inputs, got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_vec_dot"
+  }
+
   import org.apache.spark.sql.graftshim.ColumnShim.{toColumn, toExpr}
   def block_rows(c: Column): Column = toColumn(BlockRows(toExpr(c)))
   def block_raw_len(c: Column): Column = toColumn(BlockRawLen(toExpr(c)))
+  def vec_dot(a: Column, b: Column): Column = toColumn(FloatVecDot(toExpr(a), toExpr(b)))
 
   /** Register graft_block_rows / graft_block_raw_len for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -54,6 +104,8 @@ object GraftFunctions {
       "graft_block_rows", exprs => BlockRows(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_block_raw_len", exprs => BlockRawLen(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Typed Aggregator: overall compression ratio of (nBytes, cBytes)

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *   lookup  <encodedDir> <col> <lo> <hi>                  planned range query
   *   slice   <encodedDir> <start> <count>                  positional rows
   *   delete  <encodedDir> <col> <value>                    copy-on-write delete
+  *   recluster <encodedDir> <col>                          decode-free chunk re-order
+  *   vacuum  <encodedDir>                                  reap unreferenced snapshot files
   *   gencol add <encodedDir> <name> <exprSql>              materialize generated column
   *   gencol refresh <encodedDir> <name>                    recompute stale shards only
   *   gencol stale <encodedDir> <name>                      list stale shards
@@ -125,6 +127,29 @@ object GraftJob {
       val deleted = Lineage.deleteWhere(spark, dir, codeSchema, col(colName) === value)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"job":"delete","col":"$colName","deleted":$deleted,"sec":$sec%.2f}""")
+      spark.stop()
+
+    // recluster <dir> <col> — decode-free physical re-order of chunks
+    // by a column's zone key (reference reorder_offsets); payloads and
+    // indexes untouched, committed as a snapshot version
+    case "recluster" :: dir :: colName :: Nil =>
+      val spark = session("graft-recluster")
+      val t0 = System.nanoTime()
+      graft.encode.StoreLayout.recluster(spark, dir, codeSchema, colName)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"recluster","col":"$colName","sec":$sec%.2f}""")
+      spark.stop()
+
+    // vacuum <dir> — reap data files no snapshot version references
+    // (replaced by CoW mutations, or orphaned by a crashed writer);
+    // run when no reader is pinned to an old version (SWMR contract)
+    case "vacuum" :: dir :: Nil =>
+      val spark = session("graft-vacuum")
+      val t0 = System.nanoTime()
+      val reaped = graft.encode.Snapshots.vacuum(spark, dir)
+      val v = graft.encode.Snapshots.currentVersion(spark, dir).getOrElse(-1L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"vacuum","filesReaped":$reaped,"version":$v,"sec":$sec%.2f}""")
       spark.stop()
 
     // gencol add <dir> <name> <exprSql>   — materialize a generated column

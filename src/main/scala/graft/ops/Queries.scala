@@ -785,6 +785,36 @@ object Queries {
       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Covariance MATRIX over lineitem's numeric measures in one pass
+    * (reference cov(), ctable.py:6772) — long format, upper triangle
+    * incl. the variance diagonal.
+    */
+  def q23CovMatrix(s: SparkSession, dir: String): DataFrame = {
+    // price scaled to 1e-4 so every matrix entry lands in O(0.001..100):
+    // fixed-decimal rounding then sits ~6 orders above the engines'
+    // FP-summation divergence on every entry (var(price) unscaled is
+    // ~1e9, where round(_, 4) would sit inside the noise)
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").as("qty"),
+      (col("l_extendedprice") / 10000.0).as("price_10k"),
+      col("l_discount").as("disc"))
+    StatsOps.covMatrix(li, Seq("qty", "price_10k", "disc"))
+      .select(col("col_a"), col("col_b"), round(col("cov"), 4).as("cov"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val q23Sql: String =
+    """WITH li AS (SELECT l_quantity AS qty, l_extendedprice / 10000.0 AS price_10k,
+      |                   l_discount AS disc FROM lineitem)
+      |SELECT col_a, col_b, round(cov, 4) AS cov FROM (
+      |  SELECT 'qty' AS col_a, 'qty' AS col_b, covar_samp(qty, qty) AS cov FROM li
+      |  UNION ALL SELECT 'qty', 'price_10k', covar_samp(qty, price_10k) FROM li
+      |  UNION ALL SELECT 'qty', 'disc', covar_samp(qty, disc) FROM li
+      |  UNION ALL SELECT 'price_10k', 'price_10k', covar_samp(price_10k, price_10k) FROM li
+      |  UNION ALL SELECT 'price_10k', 'disc', covar_samp(price_10k, disc) FROM li
+      |  UNION ALL SELECT 'disc', 'disc', covar_samp(disc, disc) FROM li
+      |) ORDER BY col_a, col_b""".stripMargin
+
   /** Nested-type roundtrip: a NULLABLE struct column (flattened to
     * dotted leaf columns with a `__null` companion at encode,
     * reassembled by a Catalyst projection at decode — Nested.scala;
@@ -1062,6 +1092,7 @@ object Queries {
     "q20_validate" -> (q20Validate _),
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "q22_argminmax" -> (q22ArgMinMax _),
+    "q23_cov_matrix" -> (q23CovMatrix _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1118,6 +1149,7 @@ object Queries {
     "q20_validate" -> q20Sql,
     "q21_csv_roundtrip" -> q21Sql,
     "q22_argminmax" -> q22Sql,
+    "q23_cov_matrix" -> q23Sql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,

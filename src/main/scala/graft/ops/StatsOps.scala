@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column statistics beyond describe(): the covariance matrix
+  * (reference `cov()`, python-blosc2 ctable.py:6772).
+  */
+object StatsOps {
+
+  /** Sample-covariance matrix of `cols` in ONE aggregation pass:
+    * k(k+1)/2 `covar_samp` partials, map-side combined (no shuffle
+    * beyond the single final merge — at 100 TB this is one scan),
+    * exploded to long format (col_a, col_b, cov) with `stack` so no
+    * second job runs. The diagonal is the sample variance.
+    */
+  def covMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "covMatrix needs at least one column")
+    val pairs = for { i <- cols.indices; j <- i until cols.length } yield (cols(i), cols(j))
+    val aggs: Seq[Column] = pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${pairs.length}, " +
+      pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
+      ") as (col_a, col_b, cov)"
+    row.selectExpr(stackExpr)
+  }
+}

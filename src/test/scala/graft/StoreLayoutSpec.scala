@@ -91,6 +91,35 @@ class StoreLayoutSpec extends SparkTestBase {
       s"selective probe should read less than a full scan: probe=$probe full=$full")
   }
 
+  test("recluster re-orders chunks decode-free: payloads bit-identical, index stays valid") {
+    import spark.implicits._
+    val input = (0L until 2000L).map(i => (i, i, s"body-$i-" + "y" * 40)).toDF("id", "v", "body")
+    val out = java.nio.file.Files.createTempDirectory("graft-recluster").toString
+    graft.lineage.Lineage.encodeResumable(spark, input, out, Seq("id"),
+      nShards = 4, nBatches = 1, chunkRows = 64)
+    IndexStore.createFull(spark, out, input.schema, "v")
+
+    def shaSet(): Map[String, Int] =
+      StoreLayout.readBlocks(spark, out).collect()
+        .flatMap(_.cols.map(c => java.util.Base64.getEncoder.encodeToString(c.sha)))
+        .groupBy(identity).map { case (k, vs) => k -> vs.length }
+    val before = shaSet()
+
+    StoreLayout.recluster(spark, out, input.schema, "v")
+
+    // not one payload was re-encoded: the chunk sha multiset is identical
+    assert(shaSet() == before, "recluster must move chunks, never recompress them")
+    // content intact
+    val decoded = TableCodec.decode(graft.lineage.Lineage.readBlocks(spark, out), input.schema)
+    assert(decoded.count() == 2000)
+    assert(decoded.agg(sum("v")).head().getLong(0) == (0L until 2000L).sum)
+    // the FULL index built BEFORE the recluster still serves gathers:
+    // chunk identities are names, not file positions
+    val got = IndexStore.rangeGather(spark, out, input.schema, "v", "100", "150")
+    assert(got.count() == 51)
+    assert(got.agg(min("v"), max("v")).head() == org.apache.spark.sql.Row(100L, 150L))
+  }
+
   test("zone metadata pass reads only metadata leaves") {
     val full = bytesRead {
       TableCodec.decode(StoreLayout.readBlocks(spark, storeDir), df.schema).count()
