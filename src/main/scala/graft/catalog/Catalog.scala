@@ -99,7 +99,35 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
       require(fs.rename(target, old), s"put($k): could not park old version")
     require(fs.rename(tmp, target), s"put($k): could not promote new version")
     if (fs.exists(old)) { fs.delete(old, true); () }
+    // the encode invalidated the TMP path's cache entries; the promoted
+    // target needs its own explicit invalidation (the mtime-based cache
+    // version is not reliable across a directory rename)
+    graft.encode.QueryCache.invalidate(dirOf(k))
     summary
+  }
+
+  /** Reap hidden `_put-tmp-*` / `_put-old-*` directories left by
+    * crashed `put` runs (full table copies — invisible to listings but
+    * real disk). Call when NO put is in flight under `path`: a live
+    * put's temp directory is indistinguishable from a dead one.
+    * Returns the number of directories removed.
+    */
+  def reapTemp(path: String = "/"): Long = {
+    requireWritable(s"reapTemp($path)")
+    val base = if (path == "/" || path.isEmpty) root else dirOf(path)
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (name.startsWith("_put-tmp-") || name.startsWith("_put-old-")) {
+          if (fs.delete(st.getPath, true)) n += 1
+        } else if (!name.startsWith("_") && !name.contains("="))
+          n += reapTemp((if (path == "/" || path.isEmpty) "" else normalize(path)) + "/" + name)
+      }
+    }
+    n
   }
 
   final case class Entry(key: String, schema: StructType, idCols: Seq[String])

@@ -81,6 +81,11 @@ object PredicatePrune {
       case (c, v) if isPlainNumeric(c) && isPlainNumeric(v) =>
         v match {
           case BooleanType => Some(if (l.value == true) "1" else "0")
+          // float literals must be WIDENED before stringification: zone
+          // keys of float columns are the double-widened values
+          // ("0.1".toDouble < widen(0.1f)), so the float's short decimal
+          // form would compare against the wrong point and wrongly prune
+          case FloatType => Some(l.value.asInstanceOf[Float].toDouble.toString)
           case _ => Some(l.value.toString)
         }
       case _ => None

@@ -117,8 +117,19 @@ object Snapshots {
   def storeDfAt(spark: SparkSession, storeDir: String, version: Long): DataFrame = {
     val files = listing(spark, storeDir, version).map(f => s"$storeDir/$f")
     if (files.isEmpty)
-      // preserve schema for an empty version: read the dir, keep no rows
-      spark.read.parquet(storeDir).limit(0)
+      // preserve schema for an empty version by inferring from whatever
+      // physical files remain (vacuum-pending replacements). Once a
+      // vacuum has reaped EVERYTHING (store emptied by a full delete,
+      // then vacuumed) there is no schema source left — fail with the
+      // actual story, not parquet's generic inference error.
+      try spark.read.parquet(storeDir).limit(0)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"store $storeDir version $version lists no files and no physical " +
+              "files remain to infer the schema from (emptied by a delete, then " +
+              "vacuumed) — re-encode to recreate it", e)
+      }
     else
       spark.read.option("basePath", storeDir).parquet(files: _*)
   }

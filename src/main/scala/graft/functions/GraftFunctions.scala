@@ -65,13 +65,23 @@ object GraftFunctions {
         s"$prettyName needs array<float> inputs, got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
     }
     override def dataType: DataType = DoubleType
+    // NULL semantics match the zip_with/aggregate formulation this
+    // replaced: mismatched lengths or a null element → NULL result
+    // (zip_with pads with null; null poisons the sum). Hence nullable
+    // even over non-null children.
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       s
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,12 +90,17 @@ object GraftFunctions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |int $n = $x.numElements();
+           |if ($n != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =

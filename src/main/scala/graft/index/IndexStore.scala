@@ -296,6 +296,12 @@ object IndexStore {
   def sortedSlice(spark: SparkSession, storeDir: String, schema: StructType,
                   colName: String, offset: Long, k: Int, ascending: Boolean = true): DataFrame = {
     require(offset >= 0 && k >= 0, s"bad window [$offset, ${offset + k})")
+    // Dataset.offset is Int-typed; a silent .toInt wrap would read the
+    // wrong window. Deep windows (offset ~ rows at 100 TB) should page
+    // through the FULL index with a key cursor instead of an offset.
+    require(offset <= Int.MaxValue.toLong - k,
+      s"sorted window offset $offset exceeds the offset+limit plan's Int range — " +
+        "page with a key-range cursor (readFullRange) for deep windows")
     val idx = spark.read.parquet(fullPath(storeDir, colName))
     val ordered = if (ascending)
       idx.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))

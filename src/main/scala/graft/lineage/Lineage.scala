@@ -133,6 +133,19 @@ object Lineage {
         val p = new org.apache.hadoop.fs.Path(s"$outDir/shard=$sh")
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // snapshot-enabled stores: files we just deleted must leave the
+      // listing too (a crash between a batch's snapshot commit and its
+      // manifest append leaves listed-but-unmanifested files, which the
+      // lines above removed physically)
+      graft.encode.Snapshots.currentVersion(spark, outDir).foreach { v =>
+        val listed = graft.encode.Snapshots.listing(spark, outDir, v)
+        val pendingSet = pending.toSet
+        val keep = listed.filterNot(f => pendingSet.contains(graft.encode.Snapshots.shardOf(f)))
+        if (keep.size != listed.size) {
+          graft.encode.Snapshots.commit(spark, outDir, keep)
+          ()
+        }
+      }
     }
     // stable shard→batch groups of the pending shards: a batch is one
     // atomic unit of work (data append + manifest append)
@@ -190,6 +203,24 @@ object Lineage {
         .sortWithinPartitions(SHARD_COL)
       val blocks = TableCodec.encode(batchDf, chunkRows = chunkRows, shardCol = Some(SHARD_COL))
       StoreLayout.write(blocks, names, outDir, SaveMode.Append)
+      // snapshot-enabled stores (a CoW mutation ran before this append
+      // run): publish the batch's files PER BATCH, before its manifest
+      // row. A crash in between leaves listed-but-unmanifested files,
+      // which the resume cleanup above deletes and unlists; committing
+      // only at end-of-run would instead lose every batch a crash
+      // separated from the final commit. Pending shard dirs were wiped
+      // at run start, so every unlisted file in this batch's shards is
+      // this run's own output (never a vacuum-pending replaced file).
+      graft.encode.Snapshots.currentVersion(spark, outDir).foreach { v =>
+        val listed = graft.encode.Snapshots.listing(spark, outDir, v).toSet
+        val batchSet = shardBatch.toSet
+        val added = graft.encode.Snapshots.dataFiles(spark, outDir)
+          .filter(f => !listed.contains(f) && batchSet.contains(graft.encode.Snapshots.shardOf(f)))
+        if (added.nonEmpty) {
+          graft.encode.Snapshots.commit(spark, outDir, (listed ++ added).toSeq)
+          ()
+        }
+      }
       val wallMs = (System.nanoTime() - t0) / 1000000L
 
       // metrics from what was just committed (metadata leaves only:
@@ -216,16 +247,6 @@ object Lineage {
     // the stage is scratch space for THIS run — gone once every batch
     // committed (a no-op resume also clears any leftover)
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
-    // snapshot-enabled stores (some CoW mutation happened before this
-    // append run) need the new batches' files in the current listing —
-    // previous listing plus whatever this run added, NEVER the raw
-    // directory state (it may still hold vacuum-pending replaced files)
-    if (pending.nonEmpty) graft.encode.Snapshots.currentVersion(spark, outDir).foreach { v =>
-      val listed = graft.encode.Snapshots.listing(spark, outDir, v).toSet
-      val added = graft.encode.Snapshots.dataFiles(spark, outDir)
-        .filter(f => !listed.contains(f) && pending.contains(graft.encode.Snapshots.shardOf(f)))
-      graft.encode.Snapshots.commit(spark, outDir, (listed ++ added).toSeq)
-    }
     graft.encode.QueryCache.invalidate(outDir)
     RunSummary(pending.size, done.size, rows, nb, cb, wall)
   }

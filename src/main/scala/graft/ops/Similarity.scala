@@ -77,6 +77,11 @@ object Similarity {
     * planes (basis vector e_j) short-circuit to `element_at(vec, j)`:
     * dot(e_j, v) = v_j exactly (finite vectors), so the fast path is
     * bit-identical to the dot while skipping dim-1 multiplications.
+    *
+    * Contract (all LSH paths, incl. the driver-side bucketOf): vectors
+    * are FINITE and of the planes' dimension. NaN components or
+    * mismatched dimensions have no well-defined bucket and the dot,
+    * element and driver paths may disagree on them.
     */
   def bucketCol(vecCol: Column, ps: Array[Array[Float]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
@@ -162,6 +167,10 @@ object Similarity {
     val p = ps.length
     val chosen = mode match {
       case "dense" | "rare" => mode
+      // beyond 2^20 buckets the histogram collect is no longer tiny —
+      // and with that many buckets occupancy is sparse by construction,
+      // which is exactly the rare regime
+      case "auto" if p > 20 => "rare"
       case "auto" =>
         val counts = df.select(bucketCol(col(vecCol), ps).as("bucket"))
           .groupBy("bucket").count().collect()

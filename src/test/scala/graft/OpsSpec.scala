@@ -198,6 +198,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("vec_dot NULL semantics: mismatched lengths and null elements yield NULL") {
+    import graft.functions.GraftFunctions.vec_dot
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+        org.apache.spark.sql.Row(2L, Seq(1.0f, 2.0f), Seq(3.0f)), // length mismatch
+        org.apache.spark.sql.Row(3L, Seq(1.0f, null), Seq(3.0f, 4.0f)), // null element
+        org.apache.spark.sql.Row(4L, null, Seq(3.0f, 4.0f))), // null vector
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))))
+    val got = df.select($"id", vec_dot($"a", $"b").as("d")).orderBy("id").collect()
+    assert(got(0).getDouble(1) == 11.0)
+    assert(got(1).isNullAt(1), "length mismatch must be NULL, not a partial sum")
+    assert(got(2).isNullAt(1), "null element must poison the dot to NULL")
+    assert(got(3).isNullAt(1))
+  }
+
   test("LSH buckets are deterministic and bounded") {
     val b1 = Similarity.lshBuckets(embeddings, "vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
