@@ -53,7 +53,16 @@ object GraftFunctions {
     * every similarity operator (brute-force top-k, ANN rerank,
     * near-dup verdicts — millions to billions of pairs at 100 TB).
     */
-  case class FloatVecDot(left: Expression, right: Expression)
+  /** @param checkElements true (the public `graft_vec_dot` semantics):
+    *        a null ELEMENT poisons the result to NULL, costing a null
+    *        bit-test per element (~30% of the loop). false: elements
+    *        are TRUSTED dense (null slots read as 0) — reserved for the
+    *        similarity engine paths whose documented contract is
+    *        finite, dense vectors (the reference's NDArray embeddings
+    *        cannot hold nulls at all). Length mismatch is NULL in both
+    *        modes (a per-row check, not per-element).
+    */
+  case class FloatVecDot(left: Expression, right: Expression, checkElements: Boolean = true)
       extends BinaryExpression {
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       val ok = Seq(left, right).forall(_.dataType match {
@@ -78,7 +87,7 @@ object GraftFunctions {
       var s = 0.0
       var i = 0
       while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        if (checkElements && (x.isNullAt(i) || y.isNullAt(i))) return null
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -89,6 +98,10 @@ object GraftFunctions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val elemGuard =
+          if (checkElements)
+            s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |int $n = $x.numElements();
            |if ($n != $y.numElements()) {
@@ -96,7 +109,7 @@ object GraftFunctions {
            |} else {
            |  double $s = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $elemGuard
            |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
            |  }
            |  if (!${ev.isNull}) ${ev.value} = $s;
@@ -112,6 +125,12 @@ object GraftFunctions {
   def block_rows(c: Column): Column = toColumn(BlockRows(toExpr(c)))
   def block_raw_len(c: Column): Column = toColumn(BlockRawLen(toExpr(c)))
   def vec_dot(a: Column, b: Column): Column = toColumn(FloatVecDot(toExpr(a), toExpr(b)))
+
+  /** Element-unchecked dot for the similarity engine's dense-vector
+    * contract — see FloatVecDot.checkElements.
+    */
+  def vec_dot_dense(a: Column, b: Column): Column =
+    toColumn(FloatVecDot(toExpr(a), toExpr(b), checkElements = false))
 
   /** Register graft_block_rows / graft_block_raw_len for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -27,14 +27,16 @@ object Similarity {
     * operator's profile).
     */
   def dotLit(vecCol: Column, q: Array[Float]): Column =
-    graft.functions.GraftFunctions.vec_dot(vecCol, typedlit(q.toSeq))
+    graft.functions.GraftFunctions.vec_dot_dense(vecCol, typedlit(q.toSeq))
 
   def norm(vecCol: Column): Column =
-    sqrt(graft.functions.GraftFunctions.vec_dot(vecCol, vecCol))
+    sqrt(graft.functions.GraftFunctions.vec_dot_dense(vecCol, vecCol))
 
-  /** dot(a, b) for two vector COLUMNS (native expression, no UDF). */
+  /** dot(a, b) for two vector COLUMNS (native expression, no UDF;
+    * dense-vector contract — see bucketCol's contract note).
+    */
   def dotCol(a: Column, b: Column): Column =
-    graft.functions.GraftFunctions.vec_dot(a, b)
+    graft.functions.GraftFunctions.vec_dot_dense(a, b)
 
 
   def cosineLit(vecCol: Column, q: Array[Float]): Column = {
