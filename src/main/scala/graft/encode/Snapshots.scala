@@ -22,6 +22,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - single WRITER remains the caller's contract, exactly as in the
   *    reference.
   *
+  * Scale note: a version file carries the full file listing — O(data
+  * files) lines, fine up to ~10^5-10^6 files (a 100 TB store at 32 MiB
+  * chunks packs many chunks per parquet file). Beyond that, split the
+  * listing per shard (Iceberg's manifest-list indirection); the commit
+  * protocol is unchanged. The listing WORK per mutation is already
+  * restricted to the hit shards (dataFiles(shards=…)).
+  *
   * Stores without a `_snapshots/` directory (pure-append stores, test
   * fixtures, streaming `batch=` stores) read the directory itself —
   * zero overhead until the first mutation enables versioning.
@@ -76,18 +83,27 @@ object Snapshots {
   }
 
   /** Physical data files currently under the store's shard partitions
-    * (store-relative) — the pre-snapshot ground truth.
+    * (store-relative) — the pre-snapshot ground truth. `shards`
+    * restricts the walk to those partition dirs: a CoW commit diffs
+    * only its HIT shards, so the listing work is O(touched files), not
+    * O(store files).
     */
-  def dataFiles(spark: SparkSession, storeDir: String): Seq[String] = {
+  def dataFiles(spark: SparkSession, storeDir: String,
+                shards: Option[Set[Int]] = None): Seq[String] = {
     val fs = fsOf(spark, storeDir)
     val root = new Path(storeDir)
     if (!fs.exists(root)) return Nil
-    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-      .flatMap { d =>
-        fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
-      }.toSeq.sorted
+    val dirs = shards match {
+      case Some(s) => s.toSeq.sorted.map(i => new Path(root, s"shard=$i")).filter(fs.exists(_))
+      case None => fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .map(_.getPath).toSeq
+    }
+    dirs.flatMap { d =>
+      fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getPath.getName}")
+    }.sorted
   }
 
   /** The current listing, enabling versioning first if the store has

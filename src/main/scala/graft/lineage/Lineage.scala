@@ -213,9 +213,8 @@ object Lineage {
       // this run's own output (never a vacuum-pending replaced file).
       graft.encode.Snapshots.currentVersion(spark, outDir).foreach { v =>
         val listed = graft.encode.Snapshots.listing(spark, outDir, v).toSet
-        val batchSet = shardBatch.toSet
-        val added = graft.encode.Snapshots.dataFiles(spark, outDir)
-          .filter(f => !listed.contains(f) && batchSet.contains(graft.encode.Snapshots.shardOf(f)))
+        val added = graft.encode.Snapshots.dataFiles(spark, outDir, Some(shardBatch.toSet))
+          .filterNot(listed)
         if (added.nonEmpty) {
           graft.encode.Snapshots.commit(spark, outDir, (listed ++ added).toSeq)
           ()
@@ -471,9 +470,9 @@ object Lineage {
       names: Seq[String]): Unit = {
     import graft.encode.Snapshots
     val before = Snapshots.ensureListing(spark, outDir)
-    val pre = Snapshots.dataFiles(spark, outDir).toSet
+    val pre = Snapshots.dataFiles(spark, outDir, Some(hitShards)).toSet
     StoreLayout.write(reencoded, names, outDir, SaveMode.Append)
-    val added = Snapshots.dataFiles(spark, outDir).filterNot(pre)
+    val added = Snapshots.dataFiles(spark, outDir, Some(hitShards)).filterNot(pre)
     val keep = before.filterNot(f => hitShards.contains(Snapshots.shardOf(f))) ++ added
     // derived data (indexes, offsets) addresses pre-rewrite chunk
     // positions — drop BEFORE the version commit, so a crash in between
