@@ -108,9 +108,12 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
 
   /** Reap hidden `_put-tmp-*` / `_put-old-*` directories left by
     * crashed `put` runs (full table copies — invisible to listings but
-    * real disk). Call when NO put is in flight under `path`: a live
-    * put's temp directory is indistinguishable from a dead one.
-    * Returns the number of directories removed.
+    * real disk). The debris lives in the crashed table's PARENT
+    * directory, so call this on a parent path or the root ("/", the
+    * default) — calling it on the table key itself finds nothing.
+    * Call when NO put is in flight under `path`: a live put's temp
+    * directory is indistinguishable from a dead one. Returns the
+    * number of directories removed.
     */
   def reapTemp(path: String = "/"): Long = {
     requireWritable(s"reapTemp($path)")

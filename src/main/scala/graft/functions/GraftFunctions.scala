@@ -64,14 +64,20 @@ object GraftFunctions {
     */
   case class FloatVecDot(left: Expression, right: Expression, checkElements: Boolean = true)
       extends BinaryExpression {
+    // float AND double element types (each side independently): the
+    // pre-native formulation cast everything to array<double>, so the
+    // public similarity API accepts double vectors too
+    private def elemType(e: Expression): Option[DataType] = e.dataType match {
+      case ArrayType(FloatType, _) => Some(FloatType)
+      case ArrayType(DoubleType, _) => Some(DoubleType)
+      case _ => None
+    }
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val ok = Seq(left, right).forall(_.dataType match {
-        case ArrayType(FloatType, _) => true
-        case _ => false
-      })
-      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      if (elemType(left).isDefined && elemType(right).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs array<float> inputs, got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+        s"$prettyName needs array<float>/array<double> inputs, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
     }
     override def dataType: DataType = DoubleType
     // NULL semantics match the zip_with/aggregate formulation this
@@ -84,11 +90,15 @@ object GraftFunctions {
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
       if (n != y.numElements()) return null
+      val xf = elemType(left).contains(FloatType)
+      val yf = elemType(right).contains(FloatType)
       var s = 0.0
       var i = 0
       while (i < n) {
         if (checkElements && (x.isNullAt(i) || y.isNullAt(i))) return null
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
         i += 1
       }
       s
@@ -98,6 +108,8 @@ object GraftFunctions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val getX = if (elemType(left).contains(FloatType)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val getY = if (elemType(right).contains(FloatType)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
         val elemGuard =
           if (checkElements)
             s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
@@ -110,7 +122,7 @@ object GraftFunctions {
            |  double $s = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
            |    $elemGuard
-           |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |    $s += $getX * $getY;
            |  }
            |  if (!${ev.isNull}) ${ev.value} = $s;
            |}

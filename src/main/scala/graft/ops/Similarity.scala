@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * neighbors), so the scan is ~n/2^bits instead of n. At 100 TB the
   * bucketed table is written partitioned by bucket → partition pruning
   * serves the probe.
+  *
+  * DATA CONTRACT (every operator here, mirroring the reference's
+  * NDArray embeddings, which cannot hold nulls): vectors are DENSE
+  * (no null elements), FINITE, and share one dimension. The engine
+  * paths use the element-unchecked native dot for speed — a null
+  * element reads as 0 instead of poisoning the result to NULL, and a
+  * NaN component makes bucket bits path-dependent. Validate dirty
+  * embedding columns upstream (e.g. size() + exists(isnull) filters)
+  * before handing them to these operators.
   */
 object Similarity {
 

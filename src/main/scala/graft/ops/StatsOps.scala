@@ -17,11 +17,16 @@ object StatsOps {
   def covMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "covMatrix needs at least one column")
     val pairs = for { i <- cols.indices; j <- i until cols.length } yield (cols(i), cols(j))
-    val aggs: Seq[Column] = pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"${a}__$b") }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = s"stack(${pairs.length}, " +
-      pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
-      ") as (col_a, col_b, cov)"
-    row.selectExpr(stackExpr)
+    // positional aliases + Column-API explode: no SQL string splicing,
+    // so column names with quotes/backticks/underscores can't produce
+    // malformed or colliding expressions
+    val aggs: Seq[Column] = pairs.zipWithIndex.map { case ((a, b), i) =>
+      covar_samp(col(a), col(b)).as(s"__cov_$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__cov_$i").as("cov"))
+      }: _*)).as("p"))
+      .select("p.col_a", "p.col_b", "p.cov")
   }
 }

@@ -217,6 +217,13 @@ class OpsSpec extends SparkTestBase {
     assert(got(1).isNullAt(1), "length mismatch must be NULL, not a partial sum")
     assert(got(2).isNullAt(1), "null element must poison the dot to NULL")
     assert(got(3).isNullAt(1))
+    // double vectors (and float x double) stay supported, as with the
+    // cast-to-array<double> formulation the native expression replaced
+    val dd = Seq((1L, Seq(1.0, 2.0), Seq(3.0f, 4.0f))).toDF("id", "a", "b")
+    assert(dd.select(vec_dot($"a", $"b")).head().getDouble(0) == 11.0)
+    assert(Similarity.bruteForceTopK(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Array(1.0f, 0.0f), 1).head().getLong(0) == 1L)
   }
 
   test("LSH buckets are deterministic and bounded") {
