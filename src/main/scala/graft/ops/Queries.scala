@@ -551,6 +551,34 @@ object Queries {
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** The langId heuristic is a pure functions-composition (stopword-hit
+    * counts via length diffs, left-associated sums, greatest + CASE),
+    * so DuckDB mirrors it operation-for-operation: identical IEEE
+    * arithmetic both sides → the CASE picks the same language. The
+    * lower()/length() unicode compatibility this relies on is the same
+    * pair `text_fingerprint` already hash-verifies.
+    */
+  val textLangIdSql: String = {
+    def h(w: String) =
+      s"(length(tt) - length(replace(tt, ' $w ', ''))) / ${w.length + 2}.0"
+    def lang(ws: Seq[String]) = ws.map(h).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS tt FROM documents),
+      |h AS (SELECT doc_id, lang,
+      |  ${lang(Seq("the", "and", "of", "is", "to"))} AS en,
+      |  ${lang(Seq("der", "und", "die", "ist", "das"))} AS de,
+      |  ${lang(Seq("le", "et", "les", "est", "une"))} AS fr,
+      |  ${lang(Seq("el", "los", "es", "una", "que"))} AS es,
+      |  ${lang(Seq("de", "shi", "zhong", "wen", "ni"))} AS zh
+      |FROM t)
+      |SELECT doc_id, lang, CASE
+      |  WHEN en >= greatest(de, fr, es, zh) THEN 'en'
+      |  WHEN de >= greatest(en, fr, es, zh) THEN 'de'
+      |  WHEN fr >= greatest(en, de, es, zh) THEN 'fr'
+      |  WHEN es >= greatest(en, de, fr, zh) THEN 'es'
+      |  ELSE 'zh' END AS pred_lang
+      |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -1150,6 +1178,7 @@ object Queries {
     "q21_csv_roundtrip" -> q21Sql,
     "q22_argminmax" -> q22Sql,
     "q23_cov_matrix" -> q23Sql,
+    "text_langid" -> textLangIdSql,
     "dedup_exact" -> dedupExactSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
