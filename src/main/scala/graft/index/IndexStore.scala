@@ -278,6 +278,62 @@ object IndexStore {
     gather(spark, storeDir, schema, posByChunk)
   }
 
+  /** Resume token of a keyset-paginated sorted read: the LAST emitted
+    * index entry ((key in its zone-domain string form) + the physical
+    * tie-break). Opaque to callers; serialize as its fields.
+    */
+  final case class SortCursor(key: String, shard: Int, partId: Int, chunkId: Long, pos: Int)
+
+  /** Keyset-paginated sorted read — the SCALABLE deep-window path
+    * (sortedSlice's offset+limit plan re-sorts the prefix every call
+    * and caps at Int offsets; a cursor probe reads O(log) index row
+    * groups no matter how deep the page is, reference iter_sorted
+    * streaming, ctable.py:11812). Emits the next k index-order rows
+    * STRICTLY AFTER `after` (None = from the start) plus the cursor to
+    * continue from, or None when exhausted. Rows inside the page are
+    * NOT ordered (gather emits in chunk order) — callers re-sort the
+    * k-row page, exactly as with sortedTopK.
+    */
+  def sortedPage(spark: SparkSession, storeDir: String, schema: StructType,
+                 colName: String, after: Option[SortCursor], k: Int,
+                 ascending: Boolean = true): (DataFrame, Option[SortCursor]) = {
+    require(k > 0, s"page size $k")
+    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    val keyLit: String => org.apache.spark.sql.Column = MetaIndex.flatOf(schema)(colName).dataType match {
+      case StringType => v => lit(v)
+      case DoubleType | FloatType => v => lit(v.toDouble)
+      case _ => v => lit(v.toLong)
+    }
+    val resumed = after match {
+      case None => idx
+      case Some(c) =>
+        // the loose key bound is PUSHABLE (row-group stats skip whole
+        // index regions); the exact strictly-after tuple compare
+        // refines the survivors post-scan
+        val loose = if (ascending) col("key") >= keyLit(c.key) else col("key") <= keyLit(c.key)
+        val keyAdvances = if (ascending) col("key") > keyLit(c.key) else col("key") < keyLit(c.key)
+        val tieBreak = col("key") === keyLit(c.key) &&
+          struct(col("shard"), col("partId"), col("chunkId"), col("pos")) >
+            struct(lit(c.shard), lit(c.partId), lit(c.chunkId), lit(c.pos))
+        idx.filter(loose && (keyAdvances || tieBreak))
+    }
+    val ordered = if (ascending)
+      resumed.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))
+    else resumed.orderBy(col("key").desc, col("shard"), col("partId"), col("chunkId"), col("pos"))
+    val win = ordered.limit(k).collect()
+    if (win.isEmpty) return (gather(spark, storeDir, schema, Map.empty), None)
+    val last = win.last
+    val keyStr = MetaIndex.flatOf(schema)(colName).dataType match {
+      case StringType => last.getString(0)
+      case DoubleType | FloatType => last.getDouble(0).toString
+      case _ => last.getLong(0).toString
+    }
+    val next = SortCursor(keyStr, last.getInt(1), last.getInt(2), last.getLong(3), last.getInt(4))
+    val byChunk = win.groupBy(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .map { case (kk, rs) => kk -> rs.map(_.getInt(4)).sorted }
+    (gather(spark, storeDir, schema, byChunk), if (win.length < k) None else Some(next))
+  }
+
   /** Index-ordered top-k (the reference serves sort_by from a FULL
     * index, ctable.py:11812): order the NARROW (key, chunk, pos) index
     * rows — TakeOrderedAndProject on 30-byte rows, not wide ones — then
@@ -301,7 +357,7 @@ object IndexStore {
     // through the FULL index with a key cursor instead of an offset.
     require(offset <= Int.MaxValue.toLong - k,
       s"sorted window offset $offset exceeds the offset+limit plan's Int range — " +
-        "page with a key-range cursor (readFullRange) for deep windows")
+        "page with the keyset cursor (sortedPage) for deep windows")
     val idx = spark.read.parquet(fullPath(storeDir, colName))
     val ordered = if (ascending)
       idx.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))

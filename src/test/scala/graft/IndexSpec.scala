@@ -43,6 +43,35 @@ class IndexSpec extends SparkTestBase {
     assert(h(viaIndex) == h(viaScan))
   }
 
+  test("keyset cursor pages the index order without re-reading the prefix") {
+    // 3 pages of 150 == the first 450 rows of the sort order; pages are
+    // disjoint and the cursor resumes exactly after the previous page
+    var cursor: Option[IndexStore.SortCursor] = None
+    val pages = (0 until 3).map { _ =>
+      val (page, next) = IndexStore.sortedPage(spark, storeDir, df.schema, "row_id", cursor, 150)
+      cursor = next
+      page.select("row_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(pages.forall(_.size == 150))
+    assert(pages(0).intersect(pages(1)).isEmpty && pages(1).intersect(pages(2)).isEmpty)
+    assert(pages.reduce(_ ++ _) == (0L until 450L).toSet,
+      "3 cursor pages must equal the first 450 rows of the sort order")
+    // a STRING-keyed index pages too, with correct tie handling (many
+    // rows share a repo key — the physical tuple breaks ties)
+    var sc: Option[IndexStore.SortCursor] = None
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    var n = 0
+    while ({ val (p, nx) = IndexStore.sortedPage(spark, storeDir, df.schema, "repo", sc, 700)
+             seen ++= p.select("repo").collect().map(_.getString(0)); sc = nx; n += 1
+             nx.isDefined && n < 10 }) ()
+    assert(seen.size == 2000, s"string cursor must visit every row exactly once, got ${seen.size}")
+    assert(seen.sorted == df.select("repo").collect().map(_.getString(0)).toSeq.sorted)
+    // exhaustion: a cursor past the end yields an empty page and None
+    val (tail, end) = IndexStore.sortedPage(spark, storeDir, df.schema, "row_id",
+      Some(IndexStore.SortCursor("1999", Int.MaxValue, Int.MaxValue, Long.MaxValue, Int.MaxValue)), 10)
+    assert(tail.count() == 0 && end.isEmpty)
+  }
+
   test("FULL index on a string column serves range probes") {
     val target = df.select("repo").orderBy("repo").head().getString(0)
     val viaIndex = IndexStore.rangeGather(spark, storeDir, df.schema, "repo", target, target)
