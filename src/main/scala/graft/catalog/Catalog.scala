@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boolean = false) {
 
   private val ENTRY = "_entry.json"
+  // marker inside _put-tmp/_put-old dirs naming the sibling table dir
+  // they belong to, so reapTemp can RECOVER a mid-swap crash instead of
+  // deleting the only surviving copies
+  private val SWAP = "_swap-target"
 
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,16 +91,19 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     val tmp = new org.apache.hadoop.fs.Path(parent, s"_put-tmp-$tag")
     val summary = Lineage.encodeResumable(spark, df, tmp.toString, idCols,
       nShards = nShards, nBatches = nBatches)
+    writeSmall(new org.apache.hadoop.fs.Path(tmp, SWAP), target.getName)
     val meta =
       s"""{"schemaDdl":${jsonStr(df.schema.json)},"idCols":[${idCols.map(jsonStr).mkString(",")}]}"""
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ENTRY), true)
-    out.write(meta.getBytes("UTF-8"))
-    out.close()
+    writeSmall(new org.apache.hadoop.fs.Path(tmp, ENTRY), meta)
     // swap: park the old version (hidden), promote the complete new one,
-    // only then drop the old
+    // only then drop the old. Markers let reapTemp finish an interrupted
+    // swap; they ride along into the live dir ('_'-prefixed → ignored by
+    // every reader) rather than widening the crash window with a delete.
     val old = new org.apache.hadoop.fs.Path(parent, s"_put-old-$tag")
-    if (fs.exists(target))
+    if (fs.exists(target)) {
       require(fs.rename(target, old), s"put($k): could not park old version")
+      writeSmall(new org.apache.hadoop.fs.Path(old, SWAP), target.getName)
+    }
     require(fs.rename(tmp, target), s"put($k): could not promote new version")
     if (fs.exists(old)) { fs.delete(old, true); () }
     // the encode invalidated the TMP path's cache entries; the promoted
@@ -112,8 +119,17 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     * directory, so call this on a parent path or the root ("/", the
     * default) — calling it on the table key itself finds nothing.
     * Call when NO put is in flight under `path`: a live put's temp
-    * directory is indistinguishable from a dead one. Returns the
-    * number of directories removed.
+    * directory is indistinguishable from a dead one.
+    *
+    * A put that crashed MID-SWAP (old version parked, new one not yet
+    * promoted) leaves the table ABSENT with its only copies in the
+    * hidden dirs — each carries a `_swap-target` marker naming its
+    * table, so the reaper FINISHES the swap instead of deleting the
+    * sole survivors: a complete `_put-tmp` (entry written) is promoted
+    * to the table; an incomplete one is dropped and the parked
+    * `_put-old` restored. Debris is deleted only when its target table
+    * is live (or it carries no marker — pre-marker legacy). Returns
+    * the number of directories handled (removed or recovered).
     */
   def reapTemp(path: String = "/"): Long = {
     requireWritable(s"reapTemp($path)")
@@ -121,17 +137,60 @@ final class Catalog(val spark: SparkSession, val root: String, val readOnly: Boo
     val p = new org.apache.hadoop.fs.Path(base)
     if (!fs.exists(p)) return 0L
     var n = 0L
-    fs.listStatus(p).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) {
-        if (name.startsWith("_put-tmp-") || name.startsWith("_put-old-")) {
-          if (fs.delete(st.getPath, true)) n += 1
-        } else if (!name.startsWith("_") && !name.contains("="))
-          n += reapTemp((if (path == "/" || path.isEmpty) "" else normalize(path)) + "/" + name)
+    val sts = fs.listStatus(p).filter(_.isDirectory)
+    def target(d: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] =
+      readSmall(new org.apache.hadoop.fs.Path(d, SWAP))
+        .map(name => new org.apache.hadoop.fs.Path(p, name.trim))
+    // tmp dirs first: a complete one is the NEWEST finished version and
+    // wins the interrupted swap; its parked old twin is then redundant
+    sts.filter(_.getPath.getName.startsWith("_put-tmp-")).foreach { st =>
+      val tag = st.getPath.getName.stripPrefix("_put-tmp-")
+      val oldTwin = new org.apache.hadoop.fs.Path(p, s"_put-old-$tag")
+      target(st.getPath) match {
+        case Some(t) if !fs.exists(t) =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ENTRY))) {
+            require(fs.rename(st.getPath, t), s"reapTemp: could not promote ${st.getPath}")
+            if (fs.exists(oldTwin)) { fs.delete(oldTwin, true); () }
+          } else {
+            if (fs.exists(oldTwin))
+              require(fs.rename(oldTwin, t), s"reapTemp: could not restore $oldTwin")
+            fs.delete(st.getPath, true); ()
+          }
+          graft.encode.QueryCache.invalidate(t.toString)
+          n += 1
+        case _ => if (fs.delete(st.getPath, true)) n += 1 // target live or legacy
       }
+    }
+    sts.filter(_.getPath.getName.startsWith("_put-old-")).foreach { st =>
+      if (fs.exists(st.getPath)) target(st.getPath) match {
+        case Some(t) if !fs.exists(t) =>
+          // parked old with no (surviving) complete tmp: restore it
+          require(fs.rename(st.getPath, t), s"reapTemp: could not restore ${st.getPath}")
+          graft.encode.QueryCache.invalidate(t.toString)
+          n += 1
+        case _ => if (fs.delete(st.getPath, true)) n += 1
+      }
+    }
+    sts.foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.contains("="))
+        n += reapTemp((if (path == "/" || path.isEmpty) "" else normalize(path)) + "/" + name)
     }
     n
   }
+
+  private def writeSmall(p: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(text.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSmall(p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
 
   final case class Entry(key: String, schema: StructType, idCols: Seq[String])
 

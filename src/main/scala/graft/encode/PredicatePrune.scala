@@ -50,17 +50,40 @@ object PredicatePrune {
     case _ => false
   }
 
-  /** The underlying column behind an (optionally numerically-widened)
+  /** True iff `Cast(from → to)` is value-preserving and
+    * order-preserving — exactly the casts the analyzer inserts for
+    * implicit numeric widening. Anything lossy (fractional→integral
+    * truncation, integral narrowing/wraparound, →boolean, long→double
+    * rounding past 2^53, int→float past 2^24) changes which rows
+    * compare equal, so unwrapping it could WRONGLY PRUNE a chunk whose
+    * rows match only after the cast's rounding.
+    */
+  private def isWideningCast(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (BooleanType, ByteType | ShortType | IntegerType | LongType |
+                       FloatType | DoubleType) => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true // int→float is lossy past 2^24
+    case (FloatType, DoubleType) => true
+    case _ => false // long→double/float lossy past 2^53/2^24; all narrowing lossy
+  }
+
+  /** The underlying column behind an (optionally numerically-WIDENED)
     * attribute: `cast(int_col as bigint) = 3L` prunes on int_col —
-    * sound because numeric zone compares run in the double domain
-    * either way. Non-numeric casts (string→int, date→ts) change the
-    * key domain and are NOT unwrapped.
+    * sound because the widening is exact and numeric zone compares run
+    * in the double domain either way. Narrowing / semantics-changing
+    * casts (double→int truncation, long→int wraparound, →boolean,
+    * string→int, date→ts) are NOT unwrapped: e.g.
+    * `cast(price as int) = 100` matches rows in zone [100.2, 100.9]
+    * after truncation, so pruning on the un-cast zone would skip them.
+    * The conjunct is then simply ignored — always safe.
     */
   private def stripAttr(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
-    case c: Cast if isPlainNumeric(c.dataType) =>
+    case c: Cast =>
       c.child match {
-        case a: AttributeReference if isPlainNumeric(a.dataType) => Some(a.name)
+        case a: AttributeReference if isWideningCast(a.dataType, c.dataType) => Some(a.name)
         case _ => None
       }
     case _ => None

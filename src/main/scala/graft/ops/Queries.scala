@@ -799,16 +799,19 @@ object Queries {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("max_by(l_extendedprice, l_orderkey * 10 + l_linenumber)").as("last_price"),
-        expr("min_by(l_extendedprice, l_orderkey * 10 + l_linenumber)").as("first_price"),
+        // bigint arithmetic: orderkey*10 overflows Int near SF 35, where
+        // Spark (non-ANSI) wraps silently but DuckDB promotes — the
+        // oracle would flap on the wrapped ordering
+        expr("max_by(l_extendedprice, CAST(l_orderkey AS BIGINT) * 10 + l_linenumber)").as("last_price"),
+        expr("min_by(l_extendedprice, CAST(l_orderkey AS BIGINT) * 10 + l_linenumber)").as("first_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
       .orderBy("l_returnflag")
 
   val q22Sql: String =
     """SELECT l_returnflag,
-      |  max_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price,
-      |  min_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
+      |  max_by(l_extendedprice, CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) AS last_price,
+      |  min_by(l_extendedprice, CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) AS first_price,
       |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -183,7 +183,11 @@ object Similarity {
       // which is exactly the rare regime
       case "auto" if p > 20 => "rare"
       case "auto" =>
+        // NULL embeddings hash to a null bucket; drop them here so auto
+        // fails the same way dense/rare do (rows silently absent from
+        // the join) instead of NPE-ing on getLong at the driver
         val counts = df.select(bucketCol(col(vecCol), ps).as("bucket"))
+          .filter(col("bucket").isNotNull)
           .groupBy("bucket").count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val n = counts.valuesIterator.sum

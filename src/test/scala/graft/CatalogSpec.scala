@@ -83,6 +83,49 @@ class CatalogSpec extends SparkTestBase {
     assert(!cat.contains("/tree/a"))
   }
 
+  test("reapTemp finishes a mid-swap crash instead of deleting the only copies") {
+    import org.apache.hadoop.fs.Path
+    val cat = freshCatalog()
+    val fs = new Path(cat.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pathOf(n: String) = new Path(cat.root + "/" + n)
+    def write(p: Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+
+    // A: crash BETWEEN park and promote — complete tmp (entry written)
+    // + parked old, table absent. Reap must promote the tmp, not delete
+    // both survivors.
+    cat.put("/t", docs, Seq("doc_id"), nShards = 2, nBatches = 1) // v1: 500 rows
+    cat.put("/scratch", docs.filter(col("doc_id") < 100), Seq("doc_id"),
+      nShards = 2, nBatches = 1) // stand-in for the complete v2 tmp: 100 rows
+    assert(fs.rename(pathOf("t"), pathOf("_put-old-A")))
+    write(new Path(pathOf("_put-old-A"), "_swap-target"), "t")
+    assert(fs.rename(pathOf("scratch"), pathOf("_put-tmp-A")))
+    write(new Path(pathOf("_put-tmp-A"), "_swap-target"), "t")
+    assert(!cat.contains("/t"))
+    cat.reapTemp()
+    assert(cat.contains("/t"), "complete tmp must be promoted")
+    assert(cat.get("/t").count() == 100, "promoted table must be the NEW version")
+    assert(!fs.exists(pathOf("_put-old-A")) && !fs.exists(pathOf("_put-tmp-A")))
+
+    // B: crash mid-ENCODE after park (no entry in tmp) — reap must
+    // restore the parked old version and drop the torn tmp
+    assert(fs.rename(pathOf("t"), pathOf("_put-old-B")))
+    write(new Path(pathOf("_put-old-B"), "_swap-target"), "t")
+    fs.mkdirs(pathOf("_put-tmp-B"))
+    write(new Path(pathOf("_put-tmp-B"), "_swap-target"), "t")
+    cat.reapTemp()
+    assert(cat.contains("/t") && cat.get("/t").count() == 100,
+      "parked old version must be restored when the tmp is incomplete")
+    assert(!fs.exists(pathOf("_put-tmp-B")) && !fs.exists(pathOf("_put-old-B")))
+
+    // C: table live → marked debris is plain garbage and is reaped
+    fs.mkdirs(pathOf("_put-tmp-C"))
+    write(new Path(pathOf("_put-tmp-C"), "_swap-target"), "t")
+    assert(cat.reapTemp() >= 1)
+    assert(!fs.exists(pathOf("_put-tmp-C")) && cat.get("/t").count() == 100)
+  }
+
   test("read-only catalog refuses writes but serves reads") {
     val cat = freshCatalog()
     cat.put("/t", docs, Seq("doc_id"), nShards = 2, nBatches = 1)
