@@ -56,6 +56,73 @@ object Dedup {
     }
   }
 
+  /** Distinct word k-shingles as STRINGS (the exact-measure domain the
+    * quality oracles brute-force; [[shingleHashes]] is the hashed
+    * engine-side analog). Short docs (< k words) collapse to the single
+    * all-words shingle, mirroring the hashed path.
+    */
+  def wordShingles(text: String, k: Int): Array[String] = {
+    val ws = words(text)
+    if (ws.length < k) {
+      if (ws.isEmpty) Array.empty[String] else Array(ws.mkString(" "))
+    } else
+      (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" ")).distinct.toArray
+  }
+
+  /** Exact word-k-shingle Jaccard of two texts (local). */
+  def wordShingleJaccard(a: String, b: String, k: Int): Double = {
+    val ga = wordShingles(a, k).toSet
+    val gb = wordShingles(b, k).toSet
+    if (ga.isEmpty && gb.isEmpty) 1.0
+    else ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+  }
+
+  /** Brute-force ALL-PAIRS exact shingle-Jaccard ≥ threshold →
+    * (id_a, id_b). O(n²) nested-loop join: this is the MEASUREMENT
+    * HARNESS that ground-truths the LSH paths at oracle scale (≤ a few
+    * thousand docs) — never a production operator; the scale paths are
+    * [[minhashDuplicates]] / [[simhashDuplicates]].
+    */
+  def bruteShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    val joined = a.join(b, col("id_a") < col("id_b"))
+    val (ia, ib, ta, tb) = (joined.schema.fieldIndex("id_a"), joined.schema.fieldIndex("id_b"),
+      joined.schema.fieldIndex("text_a"), joined.schema.fieldIndex("text_b"))
+    joined.map { r =>
+      (r.getLong(ia), r.getLong(ib),
+        wordShingleJaccard(r.getString(ta), r.getString(tb), k))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Keep only candidate pairs whose EXACT word-k-shingle Jaccard meets
+    * `threshold`: texts are joined back onto the (id_a, id_b) pairs —
+    * only colliding docs shuffle — and the exact measure runs per pair.
+    * This is the verification stage of the LSH pipelines (precision
+    * becomes exact; recall stays the LSH's).
+    */
+  def verifyPairsShingleJaccard(df: DataFrame, idCol: String, textCol: String,
+                                pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val texts = df.select(col(idCol), col(textCol))
+    val withA = pairs.select("id_a", "id_b")
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+    val withB = withA
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+    val (ia, ib, ta, tb) = (withB.schema.fieldIndex("id_a"), withB.schema.fieldIndex("id_b"),
+      withB.schema.fieldIndex("text_a"), withB.schema.fieldIndex("text_b"))
+    withB.map { r =>
+      (r.getLong(ia), r.getLong(ib),
+        wordShingleJaccard(r.getString(ta), r.getString(tb), k))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** MinHash signature: for seed j, min over shingles of mix(h ^ seed_j).

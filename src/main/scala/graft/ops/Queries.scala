@@ -401,6 +401,110 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** documents ∪ deterministic planted near-duplicates: every 10th doc
+    * gains a copy (doc_id + 100000) with a 4-word suffix appended. Both
+    * engines build the SAME fixture from the same table (the mutation
+    * is plain SQL), so the dedup ground truth is independently
+    * recomputable end to end.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate copy")).as("text")))
+  }
+
+  private val plantedDocsSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' planted near duplicate copy' AS text
+      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** {n_truth, n_pred, n_hits, recall, prec} of `pred` vs `truth` pair
+    * sets — the quality row the dedup oracles hash-verify. 1×1 cross
+    * joins only.
+    */
+  private def recallSummary(truth: DataFrame, pred: DataFrame): DataFrame = {
+    val hits = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_truth"), col("n_pred"), col("n_hits"),
+        round(col("n_hits") / col("n_truth"), 4).as("recall"),
+        round(col("n_hits") / col("n_pred"), 4).as("prec"))
+  }
+
+  /** End-to-end QUALITY oracle for MinHash+LSH dedup (the NumPy-style
+    * cross-check the reference gives every operator, e.g.
+    * tests/ctable/test_groupby.py): ground truth = brute-force
+    * all-pairs word-3-shingle Jaccard ≥ 0.5 over the planted fixture
+    * (81 pairs at sf0.01: 50 planted + 31 natural near-dups in the
+    * generator's corpus); prediction = minhash signatures → LSH bands →
+    * candidate pairs → EXACT-Jaccard verification at the same
+    * threshold. Verification makes precision 1.0 by construction, so
+    * the oracle's bite is RECALL: the DuckDB side recomputes the truth
+    * count independently and asserts the banding missed nothing
+    * (measured margin: min est-Jaccard over truth pairs 0.67 vs the
+    * 0.35 candidate gate; every truth pair collides in ≥1 of 16 bands).
+    * The brute-force side is the measurement harness (oracle scale
+    * only); the operator under test is the scale path.
+    */
+  def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val aug = plantedDocs(s, dir)
+    val truth = Dedup.bruteShingleJaccardPairs(aug, "doc_id", "text", k = 3, threshold = 0.5)
+    val cands = Dedup.minhashDuplicates(aug, "doc_id", "text",
+      numHashes = 64, bands = 16, shingle = 3, threshold = 0.35)
+    val pred = Dedup.verifyPairsShingleJaccard(aug, "doc_id", "text", cands, k = 3, threshold = 0.5)
+    recallSummary(truth, pred)
+  }
+
+  private val dedupTruthSql: String =
+    s"""WITH aug AS ($plantedDocsSql),
+      |w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS ws
+      |  FROM aug),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |                   for i in range(1, greatest(len(ws) - 1, 2))]) AS grams
+      |  FROM w),
+      |truth AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5)""".stripMargin
+
+  /** The oracle recomputes n_truth by brute force and asserts the
+    * perfect-quality bar (n_pred = n_hits = n_truth, recall = prec =
+    * 1.0): the engine row hash-matches iff the LSH pipeline found
+    * EXACTLY the independently-computed truth set.
+    */
+  val dedupMinhashRecallSql: String =
+    s"""$dedupTruthSql
+      |SELECT count(*) AS n_truth, count(*) AS n_pred, count(*) AS n_hits,
+      |  CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS prec
+      |FROM truth""".stripMargin
+
+  /** SimHash-banding analog of [[dedupMinhashRecall]]: prediction =
+    * 64-bit simhash → pigeonhole bands (maxDist 15 → 16 disjoint 4-bit
+    * bands, any pair within hamming 15 collides in ≥1) → exact-Jaccard
+    * verification. Measured margin at sf0.01: max hamming over truth
+    * pairs is 13. bucketCap is lifted to 1024 here because the docs
+    * share one small vocabulary, so 4-bit simhash band buckets are
+    * legitimately dense at harness scale — at 100 TB you keep the cap
+    * and accept rep-star semantics on degenerate buckets.
+    */
+  def dedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val aug = plantedDocs(s, dir)
+    val truth = Dedup.bruteShingleJaccardPairs(aug, "doc_id", "text", k = 3, threshold = 0.5)
+    val cands = Dedup.simhashDuplicates(aug, "doc_id", "text", maxDist = 15, bucketCap = 1024)
+    val pred = Dedup.verifyPairsShingleJaccard(aug, "doc_id", "text", cands, k = 3, threshold = 0.5)
+    recallSummary(truth, pred)
+  }
+
+  val dedupSimhashRecallSql: String = dedupMinhashRecallSql
+
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1128,6 +1232,8 @@ object Queries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_simhash_recall" -> (dedupSimhashRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_cosine" -> (simTopK _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -1183,6 +1289,8 @@ object Queries {
     "q23_cov_matrix" -> q23Sql,
     "text_langid" -> textLangIdSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_recall" -> dedupMinhashRecallSql,
+    "dedup_simhash_recall" -> dedupSimhashRecallSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
