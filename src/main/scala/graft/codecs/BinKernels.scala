@@ -17,6 +17,12 @@ object BinKernels {
 
   private val EMPTY = Array.emptyByteArray
 
+  // reusable per-thread blob for the FSST whole-chunk output (see the
+  // FSST encode case); capped like the other codec thread-locals
+  private val fsstBlob = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
   @inline private def at(vec: BinVec, i: Int): Array[Byte] = {
     val v = vec.values(i)
     if (v == null) EMPTY else v
@@ -58,14 +64,29 @@ object BinKernels {
       val n = vec.n
       val table = Fsst.train(vec)
       Fsst.writeTable(table, w)
-      // encoded lengths first (so decode can split values), then code blob
-      val enc = new Array[Array[Byte]](n)
+      // encoded lengths first (so decode can split values), then code
+      // blob — all values compressed into ONE reusable contiguous
+      // buffer (no per-value output arrays; bytes identical)
+      val lens = new Array[Int](n)
+      var blob = fsstBlob.get()
+      var o = 0
       var i = 0
-      while (i < n) { enc(i) = Fsst.compress(table, at(vec, i)); i += 1 }
+      while (i < n) {
+        val v = at(vec, i)
+        val need = o + v.length * 2 + 8
+        if (blob.length < need) {
+          blob = java.util.Arrays.copyOf(blob,
+            java.lang.Integer.highestOneBit(math.max(need - 1, 1)) << 1)
+          if (blob.length <= (1 << 27)) fsstBlob.set(blob)
+        }
+        val end = Fsst.compressInto(table, v, blob, o)
+        lens(i) = end - o
+        o = end
+        i += 1
+      }
       i = 0
-      while (i < n) { w.putVarInt(enc(i).length); i += 1 }
-      i = 0
-      while (i < n) { w.putBytes(enc(i)); i += 1 }
+      while (i < n) { w.putVarInt(lens(i)); i += 1 }
+      w.putBytes(blob, 0, o)
 
     case Method.BYTEPACK =>
       // small-alphabet packing: hex commits (16 symbols → 4 bits/byte),
@@ -410,7 +431,18 @@ object Fsst {
     val need = data.length * 2 + 8
     var out = scratch.get()
     if (out.length < need) { out = new Array[Byte](need); scratch.set(out) }
-    var o = 0
+    val o = compressInto(t, data, out, 0)
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Compress `data` into `out` starting at `off`; returns the end
+    * offset. Caller guarantees capacity ≥ off + 2*data.length. Writing
+    * a whole chunk's values into ONE contiguous buffer avoids the
+    * per-value copyOf of [[compress]] (~chunk-sized allocation churn
+    * per chunk at 32 codec threads).
+    */
+  def compressInto(t: Table, data: Array[Byte], out: Array[Byte], off: Int): Int = {
+    var o = off
     var pos = 0
     if (t.symbols.length == 0) {
       while (pos < data.length) {
@@ -423,7 +455,7 @@ object Fsst {
         else { out(o) = ESCAPE.toByte; out(o + 1) = data(pos); o += 2; pos += 1 }
       }
     }
-    java.util.Arrays.copyOf(out, o)
+    o
   }
 
   def decompress(t: Table, enc: Array[Byte]): Array[Byte] = {

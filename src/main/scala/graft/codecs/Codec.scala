@@ -99,25 +99,88 @@ object Entropy {
     case _ => s"e$e"
   }
 
-  def compress(e: Byte, level: Int, raw: Array[Byte]): Array[Byte] = e match {
-    case NONE => raw
+  def compress(e: Byte, level: Int, raw: Array[Byte]): Array[Byte] =
+    if (e == NONE) raw else compressRange(e, level, raw, raw.length)
+
+  // reusable per-thread staging buffer for compressor output: the
+  // bound-size destination would otherwise be a fresh (JVM-zeroed)
+  // chunk-sized array per call — at 32 codec threads that zeroing is
+  // real DRAM write bandwidth taken from the codecs themselves
+  private val scratchTl = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](1 << 16)
+  }
+  private def scratch(min: Int): Array[Byte] = {
+    var b = scratchTl.get()
+    if (b.length < min) {
+      b = new Array[Byte](java.lang.Integer.highestOneBit(math.max(min - 1, 1)) << 1)
+      if (b.length <= (1 << 27)) scratchTl.set(b) // same retention cap as bodyTl
+    }
+    b
+  }
+
+  // DIRECT staging buffers for the zstd JNI boundary. Heap-array zstd
+  // calls pin src+dst with GetPrimitiveArrayCritical for the WHOLE
+  // single-shot compression (~300 ms for a 32 MiB chunk at level 5);
+  // with 32 codec threads near-always inside a critical region, every
+  // young GC becomes "GCLocker Initiated" — deferred until the slowest
+  // critical exits — and allocating threads stall meanwhile (measured:
+  // 35% of 32-thread task time runnable-but-off-CPU vs 4% at 8
+  // threads). Direct ByteBuffers take the no-critical JNI path; the two
+  // extra memcpys (~4 ms/chunk) are noise next to the stalls removed.
+  // Same ZSTD_compress2 call → bit-identical output.
+  private val dSrcTl = new ThreadLocal[java.nio.ByteBuffer]()
+  private val dDstTl = new ThreadLocal[java.nio.ByteBuffer]()
+  private def directBuf(tl: ThreadLocal[java.nio.ByteBuffer], min: Int): java.nio.ByteBuffer = {
+    var b = tl.get()
+    if (b == null || b.capacity() < min) {
+      b = java.nio.ByteBuffer.allocateDirect(
+        java.lang.Integer.highestOneBit(math.max(min - 1, 1)) << 1)
+      if (b.capacity() <= (1 << 27)) tl.set(b)
+    }
+    b.clear()
+    b
+  }
+
+  /** Compress `src[0, srcLen)` to an EXACT-size fresh array, staging
+    * through the thread-local bound buffer (no per-call bound-size
+    * allocation; same single-shot codec calls, bit-identical output).
+    * NONE copies the prefix (callers wanting zero-copy handle NONE
+    * themselves).
+    */
+  def compressRange(e: Byte, level: Int, src: Array[Byte], srcLen: Int): Array[Byte] = e match {
+    case NONE => java.util.Arrays.copyOf(src, srcLen)
     case ZSTD =>
+      val bound = com.github.luben.zstd.Zstd.compressBound(srcLen.toLong).toInt
+      val srcB = directBuf(dSrcTl, srcLen)
+      srcB.put(src, 0, srcLen)
+      val dstB = directBuf(dDstTl, bound)
       val ctx = zc.get()
       ctx.setLevel(level)
-      ctx.compress(raw)
+      val n = ctx.compressDirectByteBuffer(dstB, 0, dstB.capacity(), srcB, 0, srcLen)
+      val out = new Array[Byte](n)
+      dstB.position(0)
+      dstB.get(out, 0, n)
+      out
     case LZ4 =>
       val c = lz4.fastCompressor()
-      val out = new Array[Byte](c.maxCompressedLength(raw.length))
-      val n = c.compress(raw, 0, raw.length, out, 0)
-      java.util.Arrays.copyOf(out, n)
+      val dst = scratch(c.maxCompressedLength(srcLen))
+      val n = c.compress(src, 0, srcLen, dst, 0)
+      java.util.Arrays.copyOf(dst, n)
     case _ => throw new IllegalArgumentException(s"entropy $e")
   }
 
   def decompress(e: Byte, comp: Array[Byte], rawLen: Int): Array[Byte] = e match {
     case NONE => comp
     case ZSTD =>
+      // same no-critical JNI path as compressRange (decompress criticals
+      // are shorter but 32 decode threads still gate the GCLocker)
+      val srcB = directBuf(dSrcTl, comp.length)
+      srcB.put(comp, 0, comp.length)
+      val dstB = directBuf(dDstTl, rawLen)
+      zd.get().decompressDirectByteBuffer(dstB, 0, rawLen, srcB, 0, comp.length)
       val out = new Array[Byte](rawLen)
-      zd.get().decompressByteArray(out, 0, rawLen, comp, 0, comp.length)
+      dstB.position(0)
+      dstB.get(out, 0, rawLen)
       out
     case LZ4 =>
       val out = new Array[Byte](rawLen)
@@ -146,6 +209,15 @@ object ChunkCodec {
   val MAGIC = 0xb2
   val VERSION = 1
 
+  // One reusable body writer per codec thread, CHECKED OUT for the
+  // duration of an encode (re-entrant / plugin-recursive encodes fall
+  // back to a fresh writer). Encoding a 32 MiB chunk previously paid
+  // three chunk-sized alloc+zero+copy rounds (body growth, raw copy,
+  // compressor bound buffer); at 32 threads that zeroing/GC traffic
+  // competes with the codecs for the same DRAM bandwidth — the measured
+  // 8→32 CPU-inflation term. Payload bytes are bit-identical.
+  private val bodyTl = new ThreadLocal[Bytes.Writer]()
+
   def encode(vec: ColVec, plan: Plan): Array[Byte] = {
     // pre-size to the raw payload estimate: a 16 MB chunk body would
     // otherwise be copied ~10x by doubling growth
@@ -156,24 +228,39 @@ object ChunkCodec {
         math.min(t, Int.MaxValue / 2L).toInt
       case v => v.n * 8 + 64
     }
-    val body = new Bytes.Writer(math.max(1 << 10, sizeHint))
-    val nulls = vec.nullCount
-    if (nulls > 0) writeValidity(vec.validity, body)
-    val colType = vec match {
-      case v: LongVec => LongKernels.encode(plan.method, v, body); ColType.LONG
-      case v: DoubleVec => DoubleKernels.encode(plan.method, v, body); ColType.DOUBLE
-      case v: BinVec => BinKernels.encode(plan.method, v, body); ColType.BIN
+    val cached = bodyTl.get()
+    val body =
+      if (cached != null) { bodyTl.set(null); cached.reset(); cached }
+      else new Bytes.Writer(math.max(1 << 10, sizeHint))
+    try {
+      val nulls = vec.nullCount
+      if (nulls > 0) writeValidity(vec.validity, body)
+      val colType = vec match {
+        case v: LongVec => LongKernels.encode(plan.method, v, body); ColType.LONG
+        case v: DoubleVec => DoubleKernels.encode(plan.method, v, body); ColType.DOUBLE
+        case v: BinVec => BinKernels.encode(plan.method, v, body); ColType.BIN
+      }
+      val rawLen = body.size
+      val comp =
+        if (plan.entropy == Entropy.NONE) null
+        else Entropy.compressRange(plan.entropy, plan.level, body.rawBuffer, rawLen)
+      // entropy made it bigger? store uncompressed (blosc2 does the same fallback)
+      val (ent, payload, payloadLen) =
+        if (comp != null && comp.length < rawLen) (plan.entropy, comp, comp.length)
+        else (Entropy.NONE, body.rawBuffer, rawLen)
+      val h = new Bytes.Writer(32)
+      h.putByte(MAGIC); h.putByte(VERSION)
+      h.putByte(colType); h.putByte(plan.method); h.putByte(ent); h.putByte(plan.level)
+      h.putVarInt(vec.n); h.putVarInt(nulls); h.putVarInt(rawLen)
+      val out = new Array[Byte](h.size + payloadLen)
+      System.arraycopy(h.rawBuffer, 0, out, 0, h.size)
+      System.arraycopy(payload, 0, out, h.size, payloadLen)
+      out
+    } finally {
+      // cap retained capacity: 32 threads × ≤128 MiB bounds the pool at
+      // a predictable slice of the pinned heap (chunk bodies are ~48 MiB)
+      bodyTl.set(if (body.rawBuffer.length <= (1 << 27)) body else null)
     }
-    val raw = body.result()
-    val comp = Entropy.compress(plan.entropy, plan.level, raw)
-    // entropy made it bigger? store uncompressed (blosc2 does the same fallback)
-    val (ent, payload) = if (comp.length < raw.length) (plan.entropy, comp) else (Entropy.NONE, raw)
-    val w = new Bytes.Writer(payload.length + 24)
-    w.putByte(MAGIC); w.putByte(VERSION)
-    w.putByte(colType); w.putByte(plan.method); w.putByte(ent); w.putByte(plan.level)
-    w.putVarInt(vec.n); w.putVarInt(nulls); w.putVarInt(raw.length)
-    w.putBytes(payload)
-    w.result()
   }
 
   def decode(block: Array[Byte]): ColVec = {

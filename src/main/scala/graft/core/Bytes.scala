@@ -64,6 +64,19 @@ object Bytes {
     }
 
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+
+    /** The backing array (valid bytes are [0, size)). For zero-copy
+      * hand-off into entropy coders / arraycopy — callers must not hold
+      * the reference past the writer's next reuse.
+      */
+    def rawBuffer: Array[Byte] = buf
+
+    /** Rewind for reuse, keeping the grown capacity (the encode hot
+      * path reuses one writer per thread so 32 concurrent codec
+      * threads stop paying alloc+zero for a chunk-sized buffer per
+      * chunk).
+      */
+    def reset(): Unit = len = 0
   }
 
   /** Reader over a byte array (little-endian, varints). */

@@ -106,6 +106,37 @@ object TableCodec {
   ): Iterator[EncodedBlock] = {
     val partId = TaskContext.getPartitionId()
     val builders = fields.map { case (f, _) => ColBuilder(f.dataType, truncPrec.getOrElse(f.name, 0)) }
+    // Sticky plan memo: once a column chooses the SAME plan for
+    // STICKY_AFTER consecutive chunks, skip the trial encodes and reuse
+    // it, re-running the trials every REVALIDATE_EVERY chunks (a
+    // disagreement resets the streak). Trial encodes cost ~10% of
+    // encode CPU and their buffer traffic competes with the real
+    // codecs for DRAM at 32 threads; real columns are overwhelmingly
+    // plan-stable chunk to chunk. Deterministic per task (the chunk
+    // sequence within a partition is fixed), so retries re-derive
+    // identical plans. Methods whose validity is PER-CHUNK-validated
+    // (BYTEPACK's alphabet bound, CONST, plugin kernels) are never
+    // stuck — their trials always run.
+    val STICKY_AFTER = 4
+    val REVALIDATE_EVERY = 16
+    val lastPlan = new Array[graft.codecs.Plan](fields.length)
+    val agree = new Array[Int](fields.length)
+    val sinceTrial = new Array[Int](fields.length)
+    def stickable(p: graft.codecs.Plan): Boolean =
+      p.method != graft.codecs.Method.BYTEPACK &&
+        p.method != graft.codecs.Method.CONST &&
+        !graft.codecs.CodecRegistry.isPluginId(p.method)
+    def choosePlan(i: Int, vec: graft.codecs.ColVec): graft.codecs.Plan =
+      if (agree(i) >= STICKY_AFTER && sinceTrial(i) < REVALIDATE_EVERY) {
+        sinceTrial(i) += 1
+        lastPlan(i)
+      } else {
+        val p = Selector.choose(vec)
+        if (p == lastPlan(i) && stickable(p)) agree(i) += 1
+        else { agree(i) = 1; lastPlan(i) = if (stickable(p)) p else null }
+        sinceTrial(i) = 0
+        p
+      }
     val planPrefix = fields.map { case (f, _) =>
       truncPrec.get(f.name).map(k => s"trunc$k+").getOrElse("")
     }
@@ -122,7 +153,7 @@ object TableCodec {
         val cols = fields.indices.map { i =>
           val (f, _) = fields(i)
           val vec = builders(i).result()
-          val plan = Selector.choose(vec)
+          val plan = choosePlan(i, vec)
           val payload = ChunkCodec.encode(vec, plan)
           EncodedCol(
             name = f.name,
@@ -132,7 +163,7 @@ object TableCodec {
             cBytes = payload.length.toLong,
             minKey = builders(i).minKey,
             maxKey = builders(i).maxKey,
-            sha = ColBuilder.digestOf(vec),
+            sha = builders(i).digest(), // streamed in add(); == digestOf(vec)
             payload = payload
           )
         }
@@ -304,6 +335,14 @@ sealed trait ColBuilder {
   def rawBytes: Long
   def minKey: String
   def maxKey: String
+
+  /** sha256 of the values added since the last clear — STREAMED inside
+    * [[add]] while the bytes are still cache-hot, byte-for-byte
+    * identical to `ColBuilder.digestOf(result())` (which re-walks the
+    * finished chunk: a pure-DRAM re-read of every chunk at flush time
+    * that measurably fed the 32-thread bandwidth ceiling).
+    */
+  def digest(): Array[Byte]
 }
 
 object ColBuilder {
@@ -402,6 +441,8 @@ object ColBuilder {
     private var validity: Array[Boolean] = null
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
+    private val md = MessageDigest.getInstance("SHA-256")
+    private val buf8 = new Array[Byte](8)
 
     @inline private def ensure(): Unit = {
       if (n == values.length) {
@@ -416,6 +457,7 @@ object ColBuilder {
         if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
         validity(n) = false
         values(n) = 0L
+        md.update(0: Byte)
       } else {
         val v = kind match {
           case LKind.LONG | LKind.TS => row.getLong(idx)
@@ -430,6 +472,7 @@ object ColBuilder {
         if (v < mn) mn = v
         if (v > mx) mx = v
         values(n) = v
+        md.update(1: Byte); putLong(buf8, v); md.update(buf8)
       }
       n += 1
       width.toLong
@@ -437,7 +480,8 @@ object ColBuilder {
     def result(): ColVec =
       LongVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
-    def clear(): Unit = { n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue }
+    def digest(): Array[Byte] = md.digest()
+    def clear(): Unit = { n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue; md.reset() }
     def rawBytes: Long = n.toLong * width
     def minKey: String = if (mn == Long.MaxValue) "" else mn.toString
     def maxKey: String = if (mx == Long.MinValue) "" else mx.toString
@@ -468,6 +512,8 @@ object ColBuilder {
     // wrongly prune a chunk whose only matches are NaN when probing a
     // NaN bound. NaN presence forces unbounded keys.
     private var sawNaN = false
+    private val md = MessageDigest.getInstance("SHA-256")
+    private val buf8 = new Array[Byte](8)
 
     @inline private def ensure(): Unit = {
       if (n == values.length) {
@@ -482,6 +528,7 @@ object ColBuilder {
         if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
         validity(n) = false
         values(n) = 0.0
+        md.update(0: Byte)
       } else {
         val raw = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
         val v =
@@ -493,6 +540,9 @@ object ColBuilder {
         if (v < mn) mn = v
         if (v > mx) mx = v
         values(n) = v
+        md.update(1: Byte)
+        putLong(buf8, java.lang.Double.doubleToRawLongBits(v))
+        md.update(buf8)
       }
       n += 1
       if (isFloat) 4L else 8L
@@ -500,7 +550,8 @@ object ColBuilder {
     def result(): ColVec =
       DoubleVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
-    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawNaN = false }
+    def digest(): Array[Byte] = md.digest()
+    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawNaN = false; md.reset() }
     def rawBytes: Long = n.toLong * (if (isFloat) 4L else 8L)
     def minKey: String = if (sawNaN || mn.isPosInfinity) "" else mn.toString
     def maxKey: String = if (sawNaN || mx.isNegInfinity) "" else mx.toString
@@ -519,6 +570,8 @@ object ColBuilder {
     // order-preserving, so pruning on it would be unsound)
     private val zoneCapable = kind == BKind.STRING
     private var zoneDead = !zoneCapable // or some value exceeded ZONE_KEY_MAX
+    private val md = MessageDigest.getInstance("SHA-256")
+    private val buf8 = new Array[Byte](8)
 
     @inline private def ensure(): Unit = {
       if (n == values.length) values = java.util.Arrays.copyOf(values, n * 2)
@@ -535,6 +588,7 @@ object ColBuilder {
         hasNull = true
         values(n) = null
         n += 1
+        md.update(0: Byte)
         1L
       } else {
         val v = kind match {
@@ -556,6 +610,10 @@ object ColBuilder {
           if (mn == null || cmp(v, mn) < 0) mn = v
           if (mx == null || cmp(v, mx) > 0) mx = v
         }
+        md.update(1: Byte)
+        putLong(buf8, v.length.toLong)
+        md.update(buf8)
+        md.update(v)
         v.length.toLong
       }
     }
@@ -570,7 +628,8 @@ object ColBuilder {
       BinVec(vals, validity,
         if (kind == BKind.ARRAY && elemType != StringType) ArrayPack.widthOf(elemType) else 0)
     }
-    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = !zoneCapable }
+    def digest(): Array[Byte] = md.digest()
+    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = !zoneCapable; md.reset() }
     def rawBytes: Long = bytes
     def minKey: String = if (zoneDead || mn == null) "" else new String(mn, UTF_8)
     def maxKey: String = if (zoneDead || mx == null) "" else new String(mx, UTF_8)
