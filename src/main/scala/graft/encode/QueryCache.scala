@@ -11,15 +11,16 @@ import org.apache.spark.sql.SparkSession
   *  - EXPLICIT: every in-process mutation path (CoW rewrites via
   *    Lineage.dropDerived, resumable encode) calls `invalidate` — the
   *    authoritative signal for the driver that performed the mutation;
-  *  - VERSIONED: cache keys embed the max modification time over the
-  *    store's direct children (one driver listStatus, no Spark job),
-  *    which catches mutations by OTHER processes on filesystems with
-  *    faithful child mtimes. Caveat, stated honestly: object stores
-  *    whose synthetic directory entries keep constant mtimes, or local
-  *    filesystems with coarse mtime granularity, may not bump the
-  *    version for an out-of-process mutation — cross-process writers
-  *    should call `invalidate`/`clear` or disable caching; the explicit
-  *    hook fully covers the single-driver case.
+  *  - VERSIONED: for snapshot-enabled stores the cache key embeds the
+  *    COMMITTED `Snapshots` listing version — bumped by every CoW
+  *    mutation in any process, so an out-of-process commit can never
+  *    serve a stale candidate set, object stores included. Stores that
+  *    have never been mutated (no `_snapshots/`) fall back to the max
+  *    child mtime (one driver listStatus, no Spark job); the mtime
+  *    caveat — object stores with synthetic constant-mtime directory
+  *    entries, coarse mtime granularity — applies only to that
+  *    fallback, where cross-process writers should call
+  *    `invalidate`/`clear` or enable snapshots.
   *
   * Only candidate sets small enough for the pushed-keys path are cached
   * (≤ MAX_PUSHDOWN_KEYS coordinates, ≈16 bytes each) — the cache is
@@ -39,6 +40,15 @@ object QueryCache {
   val misses = new java.util.concurrent.atomic.AtomicLong
 
   def version(spark: SparkSession, storeDir: String): Long = {
+    // Snapshot-enabled stores have an AUTHORITATIVE version: the
+    // committed listing number, bumped by every CoW mutation in ANY
+    // process — immune to object stores whose synthetic directory
+    // entries keep constant mtimes. The mtime probe below remains only
+    // for never-snapshotted directories.
+    Snapshots.currentVersion(spark, storeDir) match {
+      case Some(v) => return v
+      case None =>
+    }
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return -1L

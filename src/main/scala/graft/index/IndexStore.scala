@@ -71,35 +71,49 @@ object IndexStore {
         f(TableCodec.decodeColumn(c), b)
       }
 
-    dt match {
+    val entriesDf = dt match {
       case StringType =>
         val rdd = entries { (vec, b) =>
           val v = vec.asInstanceOf[BinVec]
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             StrEntry(new String(v.values(i), java.nio.charset.StandardCharsets.UTF_8), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[StrEntry])
-          .repartitionByRange(col("key")).sortWithinPartitions("key")
-          .write.mode("overwrite").parquet(out)
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[StrEntry]).toDF()
       case DoubleType | FloatType =>
         val rdd = entries { (vec, b) =>
           val v = vec.asInstanceOf[DoubleVec]
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             DblEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[DblEntry])
-          .repartitionByRange(col("key")).sortWithinPartitions("key")
-          .write.mode("overwrite").parquet(out)
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[DblEntry]).toDF()
       case _ => // every long-backed type (int/long/ts/date/bool/short/byte/dec<=18)
         val rdd = entries { (vec, b) =>
           val v = vec.asInstanceOf[LongVec]
           Iterator.range(0, v.n).filter(v.isValid).map(i =>
             LongEntry(v.values(i), b.shard, b.partId, b.chunkId, i))
         }
-        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[LongEntry])
-          .repartitionByRange(col("key")).sortWithinPartitions("key")
-          .write.mode("overwrite").parquet(out)
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[LongEntry]).toDF()
     }
+    // RANK-MATERIALIZED index (the reference's FULL "rank" index,
+    // RELEASE_NOTES.md:196-203): range-partition + FULL-tuple sort (a
+    // total order — ties of equal keys land in one range partition and
+    // break on the unique physical tuple), then a global rank in
+    // partition-major order. Row-group stats on `rank` turn any sorted
+    // window [offset, offset+k) into a PUSHED range read — deep
+    // sorted_slice reads O(window) index bytes at any depth, no sort,
+    // Long offsets. zipWithIndex's extra count job reads the persisted
+    // sorted entries, not the store.
+    val sorted = entriesDf.repartitionByRange(col("key"))
+      .sortWithinPartitions("key", "shard", "partId", "chunkId", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranked = sorted.rdd.zipWithIndex().map { case (r, rank) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank)
+      }
+      spark.createDataFrame(ranked, StructType(sorted.schema.fields :+
+          StructField("rank", LongType, nullable = false)))
+        .write.mode("overwrite").parquet(out)
+    } finally { sorted.unpersist(); () }
   }
 
   /** Build the BUCKET index: distinct (bucket, chunk) pairs, reading
@@ -352,13 +366,28 @@ object IndexStore {
   def sortedSlice(spark: SparkSession, storeDir: String, schema: StructType,
                   colName: String, offset: Long, k: Int, ascending: Boolean = true): DataFrame = {
     require(offset >= 0 && k >= 0, s"bad window [$offset, ${offset + k})")
+    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    if (k == 0) return gather(spark, storeDir, schema, Map.empty)
+    if (ascending && idx.columns.contains("rank")) {
+      // rank-materialized index: the window is a PUSHED rank-range read
+      // — row-group stats skip everything outside [offset, offset+k),
+      // so a deep window reads O(window) index bytes at ANY depth (no
+      // sort, no Int offset bound). Descending windows keep the sort
+      // plan below (rank reversal would flip the tie-break order and
+      // the oracle's row selection under ties); deep descending reads
+      // page with the keyset cursor (sortedPage ascending=false).
+      val win = idx.filter(col("rank") >= offset && col("rank") < offset + k)
+        .select("shard", "partId", "chunkId", "pos").collect()
+      val byChunk = win.groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .map { case (kk, rs) => kk -> rs.map(_.getInt(3)).sorted }
+      return gather(spark, storeDir, schema, byChunk)
+    }
     // Dataset.offset is Int-typed; a silent .toInt wrap would read the
     // wrong window. Deep windows (offset ~ rows at 100 TB) should page
     // through the FULL index with a key cursor instead of an offset.
     require(offset <= Int.MaxValue.toLong - k,
       s"sorted window offset $offset exceeds the offset+limit plan's Int range — " +
         "page with the keyset cursor (sortedPage) for deep windows")
-    val idx = spark.read.parquet(fullPath(storeDir, colName))
     val ordered = if (ascending)
       idx.orderBy(col("key"), col("shard"), col("partId"), col("chunkId"), col("pos"))
     else idx.orderBy(col("key").desc, col("shard"), col("partId"), col("chunkId"), col("pos"))

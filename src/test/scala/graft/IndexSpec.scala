@@ -72,6 +72,38 @@ class IndexSpec extends SparkTestBase {
     assert(tail.count() == 0 && end.isEmpty)
   }
 
+  test("rank-materialized index serves deep sorted windows with flat pushed IO") {
+    // correctness: deep ascending window (offset 30x the page size)
+    // equals the sort+offset+limit answer; row_id is the contiguous
+    // sequence so the expectation is exact
+    val win = IndexStore.sortedSlice(spark, storeDir, df.schema, "row_id", 1500L, 50)
+    assert(win.select("row_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1500L until 1550L).toSeq)
+    // boundary: window past the end is empty; window straddling the end truncates
+    assert(IndexStore.sortedSlice(spark, storeDir, df.schema, "row_id", 2000L, 50).count() == 0)
+    assert(IndexStore.sortedSlice(spark, storeDir, df.schema, "row_id", 1990L, 50).count() == 10)
+
+    // the index carries the rank column and a deep window reads only
+    // the rank-overlapping index files (pushed row-group/file stats),
+    // not the whole index — this is what keeps per-page IO flat at any
+    // depth. Shallow and deep pages must cost the same.
+    val idxPath = IndexStore.fullPath(storeDir, "row_id")
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.columns.contains("rank"))
+    val nFiles = idx.select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(nFiles >= 3, s"fixture too small to measure file pruning: $nFiles files")
+    val full = bytesRead(idx.select("pos").collect())
+    val shallow = bytesRead(idx.filter(col("rank") >= 0L && col("rank") < 50L).select("pos").collect())
+    val deep = bytesRead(idx.filter(col("rank") >= 1500L && col("rank") < 1550L).select("pos").collect())
+    // toy-scale caveat: each (file × leaf) costs a ~5 KB fixed footer/
+    // seek overhead, so tiny index files put a floor under every
+    // measurement — the pruning signal is deep reading strictly less
+    // than a full pass and matching the shallow page, not a huge ratio
+    assert(deep < (full * 3) / 4, s"deep window read most of the index: deep=$deep full=$full")
+    assert(deep <= shallow * 2 && shallow <= deep * 2,
+      s"per-page index IO not flat: shallow=$shallow deep=$deep")
+  }
+
   test("FULL index on a string column serves range probes") {
     val target = df.select("repo").orderBy("repo").head().getString(0)
     val viaIndex = IndexStore.rangeGather(spark, storeDir, df.schema, "repo", target, target)

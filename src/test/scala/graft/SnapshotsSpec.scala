@@ -100,6 +100,34 @@ class SnapshotsSpec extends SparkTestBase {
     assert(after.select("id").distinct().count() == after.count(), "no duplicated ids")
   }
 
+  test("query-cache version keys off the committed snapshot, not directory mtimes") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-snapver").toString
+    val input = (0 until 400).map(i => (i.toLong, (i % 5).toString)).toDF("id", "tag")
+    Lineage.encodeResumable(spark, input, out, Seq("id"), nShards = 4, nBatches = 1, chunkRows = 64)
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(st => st.getPath -> st.getModificationTime)
+    val k1 = graft.encode.QueryCache.key(spark, out, "probe")
+
+    // out-of-process CoW commit simulation: mutate (commits a snapshot
+    // listing), then FREEZE every child mtime back to its pre-mutation
+    // value — the behavior of object stores with synthetic directory
+    // entries. The mtime fallback alone would serve the stale key; the
+    // snapshot-versioned key must still change.
+    assert(Lineage.deleteWhere(spark, out, input.schema, col("tag") === "3", chunkRows = 64) > 0)
+    before.foreach { case (p, t) => if (fs.exists(p)) fs.setTimes(p, t, t) }
+    val k2 = graft.encode.QueryCache.key(spark, out, "probe")
+    assert(k1 != k2, s"stale cache key survived a snapshot commit under frozen mtimes: $k1")
+
+    // and a second commit bumps it again
+    assert(Lineage.deleteWhere(spark, out, input.schema, col("tag") === "4", chunkRows = 64) > 0)
+    val k3 = graft.encode.QueryCache.key(spark, out, "probe")
+    assert(k2 != k3)
+  }
+
   test("delete with a FLOAT literal predicate is not wrongly zone-pruned") {
     import spark.implicits._
     // 0.1f widens to 0.10000000149…: the zone key is the widened value,
