@@ -157,6 +157,30 @@ object GraftFunctions {
   /** Typed Aggregator: overall compression ratio of (nBytes, cBytes)
     * pairs — partial+final mergeable, registrable as a UDAF.
     */
+  /** Product aggregate (the reference's cumulative_prod reducer,
+    * ndarray.py:674) — over a running window it IS cumulative_prod;
+    * as a plain aggregate it is the product reduction. NULL inputs
+    * are the multiplicative identity (SQL aggregate semantics: nulls
+    * are skipped). Mergeable (products are associative), so it is
+    * partial+final safe as a grouped aggregate too.
+    */
+  object ProdAgg extends Aggregator[java.lang.Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, a: java.lang.Double): Double = if (a == null) b else b * a
+    def merge(x: Double, y: Double): Double = x * y
+    def finish(r: Double): Double = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** `product(c)` as a Column aggregate; over
+    * `Window.partitionBy(..).orderBy(..)` this is cumulative_prod.
+    */
+  def product(c: Column): Column =
+    org.apache.spark.sql.functions.udaf(ProdAgg).apply(c)
+
   object RatioAgg extends Aggregator[(Long, Long), (Long, Long), Double] {
     def zero: (Long, Long) = (0L, 0L)
     def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) = (b._1 + a._1, b._2 + a._2)

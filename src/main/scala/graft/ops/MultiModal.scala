@@ -9,23 +9,151 @@ import org.apache.spark.sql.functions._
   * metadata, and per-item feature extraction is a shuffle-free typed
   * map over partitions.
   *
-  * The actual media DECODE step is STUBBED (this container has no
-  * image/audio libraries — see the builder mandate): `fakeDecode`
+  * AUDIO decode is REAL: [[WavPcm]] is a dependency-free RIFF/WAVE PCM
+  * parser (8/16/24/32-bit LE, multi-channel) feeding
+  * mean/RMS/zero-crossing features — oracled end to end by
+  * `media_wav_features` (DuckDB recomputes the integer-exact feature
+  * sums from the same source values the WAV was built from).
+  * Image/video decode remains STUBBED (this container has no
+  * image/video libraries — see the builder mandate): `fakeDecode`
   * produces a deterministic feature vector from the bytes, standing in
-  * for a real decoder, while everything Spark-side — binary schema,
-  * partitioning, batch shape, null handling, the feature pipeline —
-  * is real and tested. The binary codec path itself (BinaryType through
-  * ChunkCodec) is first-class: media columns compress/roundtrip like
-  * any other column.
+  * for decode + model inference, while everything Spark-side — binary
+  * schema, partitioning, batch shape, null handling, the feature
+  * pipeline — is real and tested. The binary codec path itself
+  * (BinaryType through ChunkCodec) is first-class: media columns
+  * compress/roundtrip like any other column.
   */
 object MultiModal {
+
+  /** Dependency-free RIFF/WAVE PCM codec (public container format:
+    * RIFF chunks, `fmt ` format tag 1 = integer PCM, little-endian
+    * samples; the multimodal-pipeline role the reference's Proxy/fetch
+    * layer plays, python-blosc2 proxy.py:206).
+    */
+  object WavPcm {
+
+    /** Decoded PCM audio: INTEGER samples as read from the container
+      * (channel-interleaved), exact — normalization is the caller's
+      * choice. 8-bit WAV is unsigned by spec and is centered to
+      * [-128, 127] here so every width shares signed semantics.
+      */
+    final case class Audio(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                           samples: Array[Long]) {
+      def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+      def durationSec: Double = if (sampleRate == 0) 0.0 else nFrames.toDouble / sampleRate
+      /** full-scale divisor: 2^(bits-1) (int16 → 32768). */
+      def fullScale: Double = (1L << (bitsPerSample - 1)).toDouble
+    }
+
+    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      (b(i) & 0xff) == t.charAt(0) && (b(i + 1) & 0xff) == t.charAt(1) &&
+        (b(i + 2) & 0xff) == t.charAt(2) && (b(i + 3) & 0xff) == t.charAt(3)
+
+    /** Parse a RIFF/WAVE byte payload; None for anything that is not
+      * well-formed integer PCM (fail-soft: media columns carry dirty
+      * data at scale, a bad item must not kill the task).
+      */
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes.length < 44 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return None
+      var pos = 12
+      var channels = 0
+      var sampleRate = 0
+      var bits = 0
+      var fmtOk = false
+      var data: (Int, Int) = null // (offset, len)
+      while (pos + 8 <= bytes.length) {
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        if (tag(bytes, pos, "fmt ")) {
+          if (size < 16) return None
+          val audioFormat = le16(bytes, pos + 8)
+          channels = le16(bytes, pos + 10)
+          sampleRate = le32(bytes, pos + 12)
+          bits = le16(bytes, pos + 22)
+          fmtOk = audioFormat == 1 && channels > 0 && sampleRate > 0 &&
+            (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+        } else if (tag(bytes, pos, "data")) {
+          data = (pos + 8, size)
+        }
+        pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+      if (!fmtOk || data == null) return None
+      val (off, len) = data
+      val width = bits / 8
+      val n = len / width
+      val out = new Array[Long](n)
+      var i = 0
+      bits match {
+        case 8 => // unsigned by spec → center
+          while (i < n) { out(i) = (bytes(off + i) & 0xff) - 128L; i += 1 }
+        case 16 =>
+          while (i < n) { out(i) = le16(bytes, off + i * 2).toShort.toLong; i += 1 }
+        case 24 =>
+          while (i < n) {
+            val v = (bytes(off + i * 3) & 0xff) | ((bytes(off + i * 3 + 1) & 0xff) << 8) |
+              ((bytes(off + i * 3 + 2) & 0xff) << 16)
+            out(i) = ((v << 8) >> 8).toLong // sign-extend 24 bits
+            i += 1
+          }
+        case 32 =>
+          while (i < n) { out(i) = le32(bytes, off + i * 4).toLong; i += 1 }
+      }
+      Some(Audio(channels, sampleRate, bits, out))
+    }
+
+    /** Minimal canonical writer (16-bit integer PCM) — the fixture side
+      * of the decode oracle and a real exporter for test corpora.
+      */
+    def encode16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+      require(channels > 0 && sampleRate > 0)
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      b.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+      b.array()
+    }
+
+    final case class Features(nSamples: Long, sumSamples: Long, sumSq: Long,
+                              zeroCrossings: Long, rmsUnit: Double)
+
+    /** Integer-exact audio features over the decoded samples: sums fit
+      * a Long for any real clip (|s| < 2^31, sumSq < 2^62 up to ~2^31
+      * 16-bit samples); zero crossing = strict sign product < 0; RMS on
+      * the unit scale derived from the exact integers.
+      */
+    def features(a: Audio): Features = {
+      val s = a.samples
+      var sum = 0L
+      var sq = 0L
+      var zc = 0L
+      var i = 0
+      while (i < s.length) {
+        sum += s(i)
+        sq += s(i) * s(i)
+        if (i > 0 && s(i) * s(i - 1) < 0) zc += 1
+        i += 1
+      }
+      val rms = if (s.isEmpty) 0.0 else math.sqrt(sq.toDouble / s.length) / a.fullScale
+      Features(s.length.toLong, sum, sq, zc, rms)
+    }
+  }
 
   final case class MediaFeatures(
       id: Long,
       mediaType: String, // sniffed from magic bytes
       sizeBytes: Int,
       byteEntropy: Double, // Shannon entropy of the byte histogram
-      embedding: Array[Float] // STUB decode → fixed-dim feature vector
+      embedding: Array[Float], // STUB decode → fixed-dim feature vector
+      audioRms: Option[Double], // REAL WavPcm decode (wav items only)
+      audioZeroCross: Option[Long]
   )
 
   /** Magic-byte container sniffing (public file signatures). */
@@ -81,10 +209,14 @@ object MultiModal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        if (r.isNullAt(mIdx)) MediaFeatures(id, "null", 0, 0.0, new Array[Float](16))
+        if (r.isNullAt(mIdx)) MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None)
         else {
           val bytes = r.getAs[Array[Byte]](mIdx)
-          MediaFeatures(id, sniffType(bytes), bytes.length, byteEntropy(bytes), fakeDecode(bytes))
+          // wav → REAL decode (None for malformed payloads, fail-soft);
+          // image/video → stub embedding
+          val audio = WavPcm.decode(bytes).map(WavPcm.features)
+          MediaFeatures(id, sniffType(bytes), bytes.length, byteEntropy(bytes),
+            fakeDecode(bytes), audio.map(_.rmsUnit), audio.map(_.zeroCrossings))
         }
       }
     }(Encoders.product[MediaFeatures]).toDF()
@@ -104,14 +236,18 @@ object MultiModal {
       var i = 0
       while (i < len) { x = mix(x); b(i) = (x & 0xff).toByte; i += 1 }
       kind match {
-        case 0 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte
-        case 1 => b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'
+        case 0 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte; (id, b)
+        case 1 => b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'; (id, b)
         case 2 =>
-          b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
-          b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
-        case _ => b(0) = 'I'; b(1) = 'D'; b(2) = '3'
+          // a REAL parseable PCM clip, so featurize's wav path decodes
+          val ns = 64 + ((h >>> 8) & 0x3f).toInt
+          val ss = new Array[Short](ns)
+          var y = h
+          var j = 0
+          while (j < ns) { y = mix(y); ss(j) = (y & 0xffffL).toShort; j += 1 }
+          (id, WavPcm.encode16(ss, 16000))
+        case _ => b(0) = 'I'; b(1) = 'D'; b(2) = '3'; (id, b)
       }
-      (id, b)
     }.toDF("media_id", "media")
   }
 }

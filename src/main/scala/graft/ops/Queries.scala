@@ -650,6 +650,61 @@ object Queries {
       |  round(CAST(count(*) AS DOUBLE) / 10, 4) AS recall
       |FROM brute WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
 
+  /** REAL audio decode, oracled end to end: each embedding vector is
+    * quantized to int16 (floor(clamp(v)·32767 + ½) — floor+½ because
+    * the two engines' round() half-rules must not be trusted to agree),
+    * written as an actual RIFF/WAVE PCM payload, decoded back by the
+    * dependency-free [[MultiModal.WavPcm]] parser, and reduced to
+    * INTEGER-EXACT features (sums, squares, sign crossings — no FP
+    * summation-order risk). DuckDB recomputes the same features
+    * directly from the source floats, so any header-offset,
+    * endianness, sign-extension or normalization bug in the parser
+    * breaks the hash.
+    */
+  private final case class WavFeatRow(vec_id: Long, n_samples: Long, sum_samples: Long,
+                                      sum_sq: Long, zero_crossings: Long, rms_raw: Double)
+
+  def mediaWavFeatures(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idIdx = emb.schema.fieldIndex("vec_id")
+    val eIdx = emb.schema.fieldIndex("embedding")
+    import org.apache.spark.sql.Encoders
+    emb.map { r =>
+      val id = r.getLong(idIdx)
+      val e = r.getSeq[Float](eIdx)
+      val ss = new Array[Short](e.length)
+      var i = 0
+      while (i < e.length) {
+        val v = math.max(-1.0, math.min(1.0, e(i).toDouble))
+        ss(i) = math.floor(v * 32767.0 + 0.5).toShort
+        i += 1
+      }
+      val wav = MultiModal.WavPcm.encode16(ss, 16000)
+      val f = MultiModal.WavPcm.features(MultiModal.WavPcm.decode(wav)
+        .getOrElse(throw new IllegalStateException(s"unparseable fixture wav for vec $id")))
+      WavFeatRow(id, f.nSamples, f.sumSamples, f.sumSq, f.zeroCrossings, f.rmsUnit)
+    }(Encoders.product[WavFeatRow])
+      .toDF("vec_id", "n_samples", "sum_samples", "sum_sq", "zero_crossings", "rms_raw")
+      .select(col("vec_id"), col("n_samples"), col("sum_samples"), col("sum_sq"),
+        col("zero_crossings"), round(col("rms_raw"), 6).as("rms_unit"))
+      .orderBy("vec_id")
+  }
+
+  val mediaWavFeaturesSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(greatest(least(CAST(e AS DOUBLE), 1.0), -1.0) * 32767.0 + 0.5) AS BIGINT)
+      |     for e in embedding] AS s
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(s) AS BIGINT) AS n_samples,
+      |  CAST(list_sum(s) AS BIGINT) AS sum_samples,
+      |  CAST(list_sum([x * x for x in s]) AS BIGINT) AS sum_sq,
+      |  CAST(len([i for i in range(2, len(s) + 1)
+      |            if s[CAST(i AS INT)] * s[CAST(i AS INT) - 1] < 0]) AS BIGINT) AS zero_crossings,
+      |  round(sqrt(CAST(list_sum([x * x for x in s]) AS DOUBLE) / len(s)) / 32768.0, 6) AS rms_unit
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -876,8 +931,14 @@ object Queries {
     */
   def q21CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // per-JVM path: concurrent Verify runs on one host must not share
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+    // CLUSTER-SAFE staging: the warehouse dir is the session's shared
+    // filesystem location (DFS on a real cluster), so executors can
+    // read what the write produced — a java.io.tmpdir path is
+    // node-local and only works in local[*]. Per-JVM suffix: concurrent
+    // Verify runs on one host must not share.
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/")
+    val p = s"$warehouse/_graft_stage/csv-" +
       s"${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
     // multiLine: quoted embedded newlines parse as one record;
     // explicit nullValue marker: "" (empty string) stays distinct from
@@ -949,6 +1010,73 @@ object Queries {
       |  UNION ALL SELECT 'price_10k', 'disc', covar_samp(price_10k, disc) FROM li
       |  UNION ALL SELECT 'disc', 'disc', covar_samp(disc, disc) FROM li
       |) ORDER BY col_a, col_b""".stripMargin
+
+  /** cumulative_prod (reference's second window op, ndarray.py:674):
+    * running product per order, served by the [[GraftFunctions.product]]
+    * UDAF over a running window. The factor is bounded to 1..8
+    * (quantity mod 7 + 1) so every prefix product over a ≤13-row order
+    * stays an EXACT double integer (8^13 < 2^53) — the oracle compares
+    * exact values, not FP-association luck.
+    */
+  def q24CumProd(s: SparkSession, dir: String): DataFrame = {
+    // default RANGE frame (both engines'): the synthetic lineitem has
+    // duplicate (orderkey, linenumber) pairs, and under ties a ROWS
+    // frame assigns prefix products in an engine-arbitrary tie order —
+    // RANGE gives tied rows the same (commutative) product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast("long") % 7 + 1).cast("double").as("f"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.GraftFunctions.product(col("f")).over(w).as("cum_prod"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q24Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  product(CAST(CAST(l_quantity AS BIGINT) % 7 + 1 AS DOUBLE))
+      |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS cum_prod
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** complex64/128 → struct(re, im) roundtrip (reference complex dtype
+    * mapping, schema.py:208-238, per SURVEY §1.2): a double-pair
+    * (complex128), a float-pair (complex64), and a NULLABLE complex
+    * column travel through encode/decode; the modulus is recomputed
+    * from the decoded parts (all multiplications forced to the double
+    * domain in BOTH engines — DuckDB's float*float stays float and
+    * would diverge).
+    */
+  def roundtripComplex(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      struct(element_at(col("embedding"), 1).cast("double").as("re"),
+             element_at(col("embedding"), 2).cast("double").as("im")).as("c128"),
+      struct(element_at(col("embedding"), 3).as("re"),
+             element_at(col("embedding"), 4).as("im")).as("c64"),
+      when(col("vec_id") % 9 === 0, lit(null)).otherwise(
+        struct(element_at(col("embedding"), 5).cast("double").as("re"),
+               element_at(col("embedding"), 6).cast("double").as("im"))).as("c_opt"))
+    roundtrip(src)
+      .select(col("vec_id"),
+        col("c128.re").as("re128"), col("c128.im").as("im128"),
+        col("c64.re").as("re64"), col("c64.im").as("im64"),
+        col("c_opt.re").as("re_opt"),
+        round(sqrt(col("c128.re") * col("c128.re") + col("c128.im") * col("c128.im")), 6)
+          .as("mod128"))
+      .orderBy("vec_id")
+  }
+
+  val roundtripComplexSql: String =
+    """SELECT vec_id,
+      |  CAST(embedding[1] AS DOUBLE) AS re128,
+      |  CAST(embedding[2] AS DOUBLE) AS im128,
+      |  embedding[3] AS re64,
+      |  embedding[4] AS im64,
+      |  CASE WHEN vec_id % 9 = 0 THEN NULL ELSE CAST(embedding[5] AS DOUBLE) END AS re_opt,
+      |  round(sqrt(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+      |           + CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)), 6) AS mod128
+      |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Nested-type roundtrip: a NULLABLE struct column (flattened to
     * dotted leaf columns with a `__null` companion at encode,
@@ -1228,6 +1356,8 @@ object Queries {
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "q22_argminmax" -> (q22ArgMinMax _),
     "q23_cov_matrix" -> (q23CovMatrix _),
+    "q24_cum_prod" -> (q24CumProd _),
+    "roundtrip_complex" -> (roundtripComplex _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1241,6 +1371,7 @@ object Queries {
     "sim_ann_store_topk" -> (simAnnStoreTopK _),
     "sim_ann_axis_topk" -> (simAnnAxisTopK _),
     "sim_ann_recall" -> (simAnnRecall _),
+    "media_wav_features" -> (mediaWavFeatures _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1290,6 +1421,9 @@ object Queries {
     "text_langid" -> textLangIdSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
+    "media_wav_features" -> mediaWavFeaturesSql,
+    "q24_cum_prod" -> q24Sql,
+    "roundtrip_complex" -> roundtripComplexSql,
     "dedup_simhash_recall" -> dedupSimhashRecallSql,
     "sim_topk_cosine" -> simTopKSql,
     "text_quality" -> textQualitySql,

@@ -25,10 +25,42 @@ import org.apache.spark.sql.functions._
   * paths use the element-unchecked native dot for speed — a null
   * element reads as 0 instead of poisoning the result to NULL, and a
   * NaN component makes bucket bits path-dependent. Validate dirty
-  * embedding columns upstream (e.g. size() + exists(isnull) filters)
-  * before handing them to these operators.
+  * embedding columns upstream with [[Similarity.requireDense]] (one
+  * cheap aggregate pass) before handing them to these operators.
   */
 object Similarity {
+
+  /** Enforce the dense-vector contract in one aggregate pass (plus a
+    * LIMIT-1 dimension probe when `dim` is omitted): every vector
+    * non-null, of dimension `dim`, with no null and no non-finite
+    * elements. Fails LOUDLY with counts per violation class — the
+    * alternative is the engine paths silently reading a null element
+    * as 0. Call once at ingest, not per query.
+    */
+  def requireDense(df: DataFrame, vecCol: String, dim: Int = -1): Unit = {
+    val v = col(vecCol)
+    val d = lit(if (dim > 0) dim
+      else df.filter(v.isNotNull).select(size(v)).head(1).headOption
+        .map(_.getInt(0)).getOrElse(0))
+    val bad = df.agg(
+      count(when(v.isNull, 1)).as("null_vecs"),
+      count(when(v.isNotNull && exists(v, _.isNull), 1)).as("null_elems"),
+      count(when(v.isNotNull && exists(v, e => isnan(e) || e === Float.PositiveInfinity ||
+        e === Float.NegativeInfinity), 1)).as("nonfinite"),
+      count(when(v.isNotNull, 1)).as("n_vecs"),
+      count(when(v.isNotNull && size(v) =!= d, 1)).as("dim_mismatch")
+    ).head()
+    val problems = Seq(
+      "NULL vectors" -> bad.getLong(0),
+      "vectors with NULL elements" -> bad.getLong(1),
+      "vectors with NaN/Inf elements" -> bad.getLong(2),
+      "dimension mismatches" -> bad.getLong(4)
+    ).filter(_._2 > 0)
+    require(problems.isEmpty,
+      s"dense-vector contract violated on '$vecCol' (${bad.getLong(3)} vectors): " +
+        problems.map { case (k, n) => s"$n $k" }.mkString(", ") +
+        " — clean the column (drop or repair) before similarity/dedup operators")
+  }
 
   /** dot(vec, literal query) — native codegen'd expression (one fused
     * loop, ~1-2 ns/element; the zip_with/aggregate HOF formulation this

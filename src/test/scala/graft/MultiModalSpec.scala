@@ -24,6 +24,48 @@ class MultiModalSpec extends SparkTestBase {
     assert(row.getSeq[Float](4).length == 16)
   }
 
+  test("WavPcm decodes a known-answer 16-bit clip exactly; rejects malformed payloads") {
+    import graft.ops.MultiModal.WavPcm
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    val bytes = WavPcm.encode16(samples, 16000)
+    val a = WavPcm.decode(bytes).getOrElse(fail("known-good wav did not parse"))
+    assert(a.channels == 1 && a.sampleRate == 16000 && a.bitsPerSample == 16)
+    assert(a.samples.toSeq == samples.map(_.toLong).toSeq)
+    val f = WavPcm.features(a)
+    // hand-computed: crossings at 1000→-1000, -1000→32767, 32767→-32768,
+    // -32768→5, 5→-5 (zeros never cross)
+    assert(f.zeroCrossings == 5L)
+    assert(f.nSamples == 8L && f.sumSamples == samples.map(_.toLong).sum)
+    assert(f.sumSq == samples.map(s => s.toLong * s).sum)
+
+    // 8-bit unsigned: values centered to signed
+    val wav8 = {
+      val data = Array[Byte](128.toByte, 255.toByte, 0, 129.toByte)
+      val b = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1).putInt(8000)
+        .putInt(8000).putShort(1).putShort(8)
+      b.put("data".getBytes).putInt(4).put(data)
+      b.array()
+    }
+    assert(WavPcm.decode(wav8).get.samples.toSeq == Seq(0L, 127L, -128L, 1L))
+
+    // malformed payloads fail soft, never throw
+    assert(WavPcm.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(WavPcm.decode("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(7)).isEmpty)
+    assert(WavPcm.decode(bytes.take(30)).isEmpty) // truncated mid-header
+  }
+
+  test("featurize wires the REAL wav decode: audio features only on wav items") {
+    val feats = MultiModal.featurize(media, "media_id", "media")
+    val wav = feats.filter(col("mediaType") === "wav")
+    assert(wav.count() > 0)
+    assert(wav.filter(col("audioRms").isNull).count() == 0,
+      "every synthetic wav is a real clip and must decode")
+    assert(feats.filter(col("mediaType") =!= "wav")
+      .filter(col("audioRms").isNotNull).count() == 0)
+  }
+
   test("featurize is deterministic and null-safe") {
     val a = MultiModal.featurize(media, "media_id", "media")
       .select(sum(crc32(concat_ws("_", col("mediaType"), col("sizeBytes"))))).head().getLong(0)

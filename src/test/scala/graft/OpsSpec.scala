@@ -226,6 +226,29 @@ class OpsSpec extends SparkTestBase {
       "vec_id", "embedding", Array(1.0f, 0.0f), 1).head().getLong(0) == 1L)
   }
 
+  test("requireDense fails loudly per violation class; clean columns pass") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType, true), true)))
+    def mk(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // clean: no throw
+    Similarity.requireDense(mk(Row(1L, Seq(1.0f, 2.0f)), Row(2L, Seq(3.0f, 4.0f))), "emb")
+    def failsWith(df: org.apache.spark.sql.DataFrame, marker: String): Unit = {
+      val e = intercept[IllegalArgumentException](Similarity.requireDense(df, "emb"))
+      assert(e.getMessage.contains(marker), s"message '${e.getMessage}' lacks '$marker'")
+    }
+    failsWith(mk(Row(1L, Seq(1.0f, 2.0f)), Row(2L, null)), "NULL vectors")
+    failsWith(mk(Row(1L, Seq(1.0f, null)), Row(2L, Seq(3.0f, 4.0f))), "NULL elements")
+    failsWith(mk(Row(1L, Seq(1.0f, Float.NaN)), Row(2L, Seq(3.0f, 4.0f))), "NaN/Inf")
+    failsWith(mk(Row(1L, Seq(1.0f, 2.0f)), Row(2L, Seq(3.0f))), "dimension mismatches")
+    // explicit dim overrides the first-vector probe
+    val e = intercept[IllegalArgumentException](
+      Similarity.requireDense(mk(Row(1L, Seq(1.0f, 2.0f))), "emb", dim = 3))
+    assert(e.getMessage.contains("dimension mismatches"))
+  }
+
   test("LSH buckets are deterministic and bounded") {
     val b1 = Similarity.lshBuckets(embeddings, "vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
