@@ -85,7 +85,11 @@ object Dedup {
     */
   def bruteShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                k: Int, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    // spread the nested-loop's STREAM side: a small doc set usually
+    // arrives as one file split, which would put every one of the n²/2
+    // pair computations on a single core
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
     val joined = a.join(b, col("id_a") < col("id_b"))
     val (ia, ib, ta, tb) = (joined.schema.fieldIndex("id_a"), joined.schema.fieldIndex("id_b"),

@@ -405,26 +405,37 @@ object Queries {
     * gains a copy (doc_id + 100000) with a 4-word suffix appended. Both
     * engines build the SAME fixture from the same table (the mutation
     * is plain SQL), so the dedup ground truth is independently
-    * recomputable end to end.
+    * recomputable end to end. The fixture is PINNED to the first 500
+    * docs at every sf (= all of sf0.01): its ground truth is a
+    * brute-force all-pairs pass, which is quality-MEASUREMENT harness,
+    * not a scale operator — at sf0.1 an uncapped fixture would put a
+    * 15M-pair O(n²) job in the BENCH loop.
     */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
     base.union(base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" planted near duplicate copy")).as("text")))
   }
 
   private val plantedDocsSql: String =
-    """SELECT doc_id, text FROM documents
+    """SELECT doc_id, text FROM documents WHERE doc_id < 500
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' planted near duplicate copy' AS text
-      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500""".stripMargin
 
   /** {n_truth, n_pred, n_hits, recall, prec} of `pred` vs `truth` pair
     * sets — the quality row the dedup oracles hash-verify. 1×1 cross
     * joins only.
     */
-  private def recallSummary(truth: DataFrame, pred: DataFrame): DataFrame = {
+  private def recallSummary(truth0: DataFrame, pred0: DataFrame): DataFrame = {
+    // materialize each side ONCE (eager local checkpoint of the tiny
+    // pair sets): both feed three aggregates below, and their upstreams
+    // are the O(n²) brute-force / LSH pipelines — re-executing those
+    // per aggregate tripled the cost of each recall query
+    val truth = truth0.localCheckpoint(true)
+    val pred = pred0.localCheckpoint(true)
     val hits = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
