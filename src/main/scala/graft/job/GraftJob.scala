@@ -143,6 +143,24 @@ object GraftJob {
     // vacuum <dir> — reap data files no snapshot version references
     // (replaced by CoW mutations, or orphaned by a crashed writer);
     // run when no reader is pinned to an old version (SWMR contract)
+    // bundle pack <storeDir> <outFile> — single-file export of the
+    // CURRENT store version (reference to_b2z/to_b2d)
+    case "bundle" :: "pack" :: dir :: outFile :: Nil =>
+      val spark = session("graft-bundle-pack")
+      val t0 = System.nanoTime()
+      val (files, bytes) = graft.encode.Bundle.pack(spark, dir, outFile)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"bundle-pack","files":$files,"bytes":$bytes,"out":"$outFile","sec":$sec%.2f}""")
+      spark.stop()
+
+    case "bundle" :: "unpack" :: bundleFile :: outDir :: Nil =>
+      val spark = session("graft-bundle-unpack")
+      val t0 = System.nanoTime()
+      val (files, bytes) = graft.encode.Bundle.unpack(spark, bundleFile, outDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"bundle-unpack","files":$files,"bytes":$bytes,"out":"$outDir","sec":$sec%.2f}""")
+      spark.stop()
+
     case "vacuum" :: dir :: Nil =>
       val spark = session("graft-vacuum")
       val t0 = System.nanoTime()

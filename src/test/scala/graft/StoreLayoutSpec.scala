@@ -120,6 +120,84 @@ class StoreLayoutSpec extends SparkTestBase {
     assert(got.agg(min("v"), max("v")).head() == org.apache.spark.sql.Row(100L, 150L))
   }
 
+  test("bundle pack/unpack: consistent single-file export, orphans excluded, CRC-checked") {
+    import spark.implicits._
+    import graft.encode.{Bundle, Snapshots}
+    val input = (0L until 1200L).map(i => (i, (i % 7).toString, s"text-$i-" + "z" * 30))
+      .toDF("id", "tag", "body")
+    val out = java.nio.file.Files.createTempDirectory("graft-bundle-src").toString
+    graft.lineage.Lineage.encodeResumable(spark, input, out, Seq("id"),
+      nShards = 4, nBatches = 1, chunkRows = 128)
+    // a CoW delete leaves superseded ORPHAN files beside the live ones
+    // (pre-vacuum) — the bundle must pack the CURRENT version only
+    val deleted = graft.lineage.Lineage.deleteWhere(spark, out, input.schema,
+      col("tag") === "3", chunkRows = 128)
+    assert(deleted > 0)
+    // (built after the delete: mutations drop derived indexes)
+    IndexStore.createFull(spark, out, input.schema, "id")
+    val live = Snapshots.listing(spark, out,
+      Snapshots.currentVersion(spark, out).get).toSet
+    val physical = Snapshots.dataFiles(spark, out).toSet
+    assert((physical -- live).nonEmpty, "fixture needs orphans to prove exclusion")
+
+    val bundleFile = java.nio.file.Files.createTempDirectory("graft-bundle").toString + "/s.b2d"
+    val (nFiles, bytes) = Bundle.pack(spark, out, bundleFile)
+    assert(nFiles > 0 && bytes > 0)
+    val packed = Bundle.manifest(spark, out).toSet
+    assert((physical -- live).forall(o => !packed.contains(o)), "orphan file packed")
+
+    val dst = java.nio.file.Files.createTempDirectory("graft-bundle-dst").toString + "/store"
+    val (uFiles, uBytes) = Bundle.unpack(spark, bundleFile, dst)
+    assert(uFiles == nFiles && uBytes == bytes)
+    // the unpacked store serves the SAME rows as the live source version
+    val a = TableCodec.decode(graft.lineage.Lineage.readBlocks(spark, dst), input.schema)
+    assert(a.count() == 1200 - deleted)
+    assert(a.filter(col("tag") === "3").count() == 0)
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(sum(crc32(concat_ws("|", col("id"), col("tag"), col("body"))))).head().getLong(0)
+    val b = TableCodec.decode(graft.lineage.Lineage.readBlocks(spark, out), input.schema)
+    assert(h(a) == h(b))
+    // and its FULL index came along
+    assert(IndexStore.hasFull(spark, dst, "id"))
+
+    // corruption is caught, not silently unpacked
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(bundleFile))
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x5a).toByte
+    val corrupt = bundleFile + ".bad"
+    java.nio.file.Files.write(java.nio.file.Paths.get(corrupt), raw)
+    val dst2 = java.nio.file.Files.createTempDirectory("graft-bundle-bad").toString + "/store"
+    intercept[Exception](Bundle.unpack(spark, corrupt, dst2))
+  }
+
+  test("proxy serves a slow source from its compressed cache without re-evaluating it") {
+    import spark.implicits._
+    import graft.lineage.Proxy
+    val evals = spark.sparkContext.longAccumulator("source-evals")
+    def slowSource: org.apache.spark.sql.DataFrame =
+      (0L until 600L).map(i => (i, s"payload-$i-" + "w" * 50)).toDS()
+        .mapPartitions { it => evals.add(1L); it }
+        .toDF("id", "payload")
+    val schema = slowSource.schema
+    val cache = java.nio.file.Files.createTempDirectory("graft-proxy").toString + "/cache"
+
+    val first = Proxy.through(spark, cache, schema, Seq("id"), nShards = 4, nBatches = 1)(slowSource)
+    assert(first.count() == 600)
+    val fills = evals.value
+    assert(fills > 0, "first access must evaluate the source")
+
+    val again = Proxy.through(spark, cache, schema, Seq("id"), nShards = 4, nBatches = 1)(
+      fail("cache hit must not construct the source"): org.apache.spark.sql.DataFrame)
+    assert(again.count() == 600)
+    assert(evals.value == fills, "cache hit re-evaluated the source")
+    assert(again.orderBy("id").collect().toSeq ==
+      first.orderBy("id").collect().toSeq)
+    // the cache is COMPRESSED (the point vs persist(DISK_ONLY))
+    val stats = graft.encode.StoreLayout.readBlocks(spark, cache).collect()
+      .flatMap(_.cols.map(c => (c.nBytes, c.cBytes)))
+    assert(stats.map(_._2).sum < stats.map(_._1).sum,
+      s"proxy cache not compressed: ${stats.map(_._2).sum} vs ${stats.map(_._1).sum}")
+  }
+
   test("zone metadata pass reads only metadata leaves") {
     val full = bytesRead {
       TableCodec.decode(StoreLayout.readBlocks(spark, storeDir), df.schema).count()
