@@ -92,7 +92,9 @@ class IndexSpec extends SparkTestBase {
     assert(idx.columns.contains("rank"))
     val nFiles = idx.select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
     assert(nFiles >= 3, s"fixture too small to measure file pruning: $nFiles files")
-    val full = bytesRead(idx.select("pos").collect())
+    // baseline reads the SAME columns (rank + pos) as the windows — a
+    // pos-only baseline would compare different column pages
+    val full = bytesRead(idx.filter(col("rank") >= 0L).select("pos").collect())
     val shallow = bytesRead(idx.filter(col("rank") >= 0L && col("rank") < 50L).select("pos").collect())
     val deep = bytesRead(idx.filter(col("rank") >= 1500L && col("rank") < 1550L).select("pos").collect())
     // toy-scale caveat: each (file × leaf) costs a ~5 KB fixed footer/
