@@ -171,21 +171,50 @@ object Entropy {
 
   def decompress(e: Byte, comp: Array[Byte], rawLen: Int): Array[Byte] = e match {
     case NONE => comp
+    case _ =>
+      val out = new Array[Byte](rawLen)
+      decompressRangeInto(e, comp, 0, comp.length, out, rawLen)
+      out
+  }
+
+  // Reused per-thread output buffer for chunk-body decompression. A
+  // fresh 32 MiB body array per chunk is a G1 HUMONGOUS allocation
+  // (>= half a region even at the 32 MiB max region size): it bypasses
+  // the young gen, costs a full zeroing write pass, and its reclaim
+  // needs concurrent-mark cycles — the measured reason decode ran ~1.6x
+  // faster at a 48 GiB heap. The scratch makes body lifetime free.
+  private val rawTl = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](1 << 16)
+  }
+
+  /** Decompress `comp[off, off+len)` into a REUSED per-thread buffer of
+    * capacity >= rawLen (contents beyond rawLen are stale). The result
+    * is valid only until this thread's next call — every consumer must
+    * copy out what it keeps (the codec kernels' read API does).
+    */
+  def decompressScratch(e: Byte, comp: Array[Byte], off: Int, len: Int, rawLen: Int): Array[Byte] = {
+    var out = rawTl.get()
+    if (out.length < rawLen) {
+      out = new Array[Byte](java.lang.Integer.highestOneBit(math.max(rawLen - 1, 1)) << 1)
+      if (out.length <= (1 << 27)) rawTl.set(out)
+    }
+    decompressRangeInto(e, comp, off, len, out, rawLen)
+    out
+  }
+
+  private def decompressRangeInto(e: Byte, comp: Array[Byte], off: Int, len: Int,
+                                  out: Array[Byte], rawLen: Int): Unit = e match {
     case ZSTD =>
       // same no-critical JNI path as compressRange (decompress criticals
       // are shorter but 32 decode threads still gate the GCLocker)
-      val srcB = directBuf(dSrcTl, comp.length)
-      srcB.put(comp, 0, comp.length)
+      val srcB = directBuf(dSrcTl, len)
+      srcB.put(comp, off, len)
       val dstB = directBuf(dDstTl, rawLen)
-      zd.get().decompressDirectByteBuffer(dstB, 0, rawLen, srcB, 0, comp.length)
-      val out = new Array[Byte](rawLen)
+      zd.get().decompressDirectByteBuffer(dstB, 0, rawLen, srcB, 0, len)
       dstB.position(0)
       dstB.get(out, 0, rawLen)
-      out
     case LZ4 =>
-      val out = new Array[Byte](rawLen)
-      lz4.fastDecompressor().decompress(comp, 0, out, 0, rawLen)
-      out
+      lz4.fastDecompressor().decompress(comp, off, out, 0, rawLen)
     case _ => throw new IllegalArgumentException(s"entropy $e")
   }
 }
@@ -274,9 +303,15 @@ object ChunkCodec {
     val n = r.getVarInt()
     val nulls = r.getVarInt()
     val rawLen = r.getVarInt()
-    val payload = r.getBytes(block.length - r.pos)
-    val raw = Entropy.decompress(entropy, payload, rawLen)
-    val body = new Bytes.Reader(raw)
+    // body reader: uncompressed payloads are read IN PLACE from the
+    // block; compressed ones land in the per-thread scratch (safe: every
+    // kernel's read API copies what it keeps — nothing aliases the
+    // reader's buffer past this call)
+    val body =
+      if (entropy == Entropy.NONE) new Bytes.Reader(block, r.pos)
+      else if (reuseBuf) new Bytes.Reader(
+        Entropy.decompressScratch(entropy, block, r.pos, block.length - r.pos, rawLen))
+      else new Bytes.Reader(Entropy.decompress(entropy, r.getBytes(block.length - r.pos), rawLen))
     val validity = if (nulls > 0) readValidity(body, n) else null
     colType match {
       case ColType.LONG => LongVec(LongKernels.decode(method, body, n, validity), validity)
@@ -285,6 +320,12 @@ object ChunkCodec {
       case t => throw new IllegalArgumentException(s"colType $t")
     }
   }
+
+  /** Measurement hook only (-Dgraft.decode.reuseBuf=false re-times the
+    * allocate-per-chunk body path); scratch reuse is the product path.
+    */
+  private def reuseBuf: Boolean =
+    java.lang.Boolean.parseBoolean(System.getProperty("graft.decode.reuseBuf", "true"))
 
   /** (method, entropy) of an encoded block without decoding it. */
   def peekPlan(block: Array[Byte]): Plan = Plan(block(3), block(4), block(5) & 0xff)
@@ -307,9 +348,10 @@ object ChunkCodec {
     val n = r.getVarInt()
     val nulls = r.getVarInt()
     val rawLen = r.getVarInt()
-    val payload = r.getBytes(block.length - r.pos)
-    val raw = Entropy.decompress(entropy, payload, rawLen)
-    val body = new Bytes.Reader(raw)
+    val body =
+      if (entropy == Entropy.NONE) new Bytes.Reader(block, r.pos)
+      else new Bytes.Reader(
+        Entropy.decompressScratch(entropy, block, r.pos, block.length - r.pos, rawLen))
     val validity = if (nulls > 0) readValidity(body, n) else null
     if (method == Method.CONST) {
       if (n == 0) return Some(Array.emptyIntArray)

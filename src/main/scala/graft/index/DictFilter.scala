@@ -85,10 +85,12 @@ object DictFilter {
         // non-matching rows)
         val blocks = StoreLayout.readBlocks(spark, storeDir, names.toSeq)
         val rdd = blocks.rdd.mapPartitions { it =>
+          // reused mutable row — safe: createDataFrame's scan copies per row
+          val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(dts.toIndexedSeq)
           it.flatMap { b =>
             val positions = positionsOf(b, colName, targets)
             if (positions.isEmpty) Iterator.empty
-            else TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions)
+            else TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions, reuseRow = row)
           }
         }
         val df = InternalRowShim.createDataFrame(spark, rdd, flat)

@@ -217,9 +217,11 @@ object IndexStore {
     val blocks = StoreLayout.readBlocksByKeys(spark, storeDir, posByChunk.keys.toSeq, names.toSeq)
     val bc = spark.sparkContext.broadcast(posByChunk)
     val rdd = blocks.rdd.mapPartitions { it =>
+      // reused mutable row — safe: createDataFrame's scan copies per row
+      val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(dts.toIndexedSeq)
       it.flatMap { b =>
         bc.value.get((b.shard, b.partId, b.chunkId)) match {
-          case Some(positions) => TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions)
+          case Some(positions) => TableCodec.rowsOfBlock(b, names, dts, withShard = false, positions = positions, reuseRow = row)
           case None => Iterator.empty
         }
       }
