@@ -672,9 +672,6 @@ object Queries {
     * endianness, sign-extension or normalization bug in the parser
     * breaks the hash.
     */
-  private final case class WavFeatRow(vec_id: Long, n_samples: Long, sum_samples: Long,
-                                      sum_sq: Long, zero_crossings: Long, rms_raw: Double)
-
   def mediaWavFeatures(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idIdx = emb.schema.fieldIndex("vec_id")
@@ -1461,3 +1458,12 @@ object Queries {
     "dedup_embedding" -> dedupEmbeddingSql
   )
 }
+
+/** Typed row for `media_wav_features` (integer-exact WAV decode
+  * features). Top-level and public ON PURPOSE: a nested private case
+  * class makes Janino's generated serializer fail method resolution
+  * (`Queries$WavFeatRow.vec_id()`), silently demoting the projection to
+  * interpreted mode with a per-task fallback stack in the logs.
+  */
+final case class WavFeatRow(vec_id: Long, n_samples: Long, sum_samples: Long,
+                            sum_sq: Long, zero_crossings: Long, rms_raw: Double)
