@@ -661,6 +661,86 @@ object Queries {
       |  round(CAST(count(*) AS DOUBLE) / 10, 4) AS recall
       |FROM brute WHERE vec_id IN (SELECT vec_id FROM ann)""".stripMargin
 
+  /** IVF ANN top-k through the cell-partitioned store with SEEDED
+    * centroids (the first 8 vectors, zero Lloyd iterations): the IVF
+    * analog of the axis-plane LSH trick — cosine-argmax assignment
+    * (lowest cell on ties), driver-side centroid ranking, the
+    * partition-pruned nProbe=2 read and the exact rerank are all plain
+    * SQL, so the DuckDB oracle re-derives the ENTIRE pipeline
+    * independently. The trained-kmeans store (`sim_ivf_store_topk`)
+    * shares every line of that code except the centroid constants.
+    */
+  def simIvfTopK(s: SparkSession, dir: String): DataFrame =
+    Ivf.topKFromStore(s, ivfSeedStore(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 10, nProbe = 2)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+
+  /** Assignment CTE shared by the IVF oracles: cell = the centroid
+    * (vec_id < 8) with the highest cosine, lowest id on ties — exactly
+    * Ivf.cellCol's rule (array_position takes the FIRST max).
+    */
+  private val ivfSeedAssignSql: String =
+    """SELECT e.vec_id, e.embedding,
+      |  (SELECT c.vec_id FROM embeddings c WHERE c.vec_id < 8
+      |   ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.vec_id
+      |   LIMIT 1) AS cell
+      |FROM embeddings e""".stripMargin
+
+  private val ivfProbeSql: String =
+    """SELECT c.vec_id AS p FROM embeddings c WHERE c.vec_id < 8
+      |ORDER BY list_cosine_similarity((SELECT qe FROM q), c.embedding) DESC, c.vec_id
+      |LIMIT 2""".stripMargin
+
+  lazy val simIvfTopKSql: String =
+    s"""WITH a AS ($ivfSeedAssignSql),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |probes AS ($ivfProbeSql)
+      |SELECT a.vec_id,
+      |  round(list_cosine_similarity(a.embedding, (SELECT qe FROM q)), 4) AS cosine
+      |FROM a WHERE a.cell IN (SELECT p FROM probes)
+      |ORDER BY list_cosine_similarity(a.embedding, (SELECT qe FROM q)) DESC, a.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Recall@10 of the seeded-IVF probe vs the brute-force ranking —
+    * engine and oracle compute BOTH sides independently (the numeric
+    * quality row, same contract as `sim_ann_recall`).
+    */
+  def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir)
+    val brute = Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", q, 10)
+      .select("vec_id")
+    val ivf = Ivf.topKFromStore(s, ivfSeedStore(s, dir), "vec_id", "embedding", q, 10, nProbe = 2)
+      .select("vec_id")
+    brute.join(ivf, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10).as("k"), col("hits"), round(col("hits") / 10.0, 4).as("recall"))
+  }
+
+  lazy val simIvfRecallSql: String =
+    s"""WITH a AS ($ivfSeedAssignSql),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |probes AS ($ivfProbeSql),
+      |brute AS (SELECT vec_id FROM embeddings
+      |          ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id
+      |          LIMIT 10),
+      |ivf AS (SELECT a.vec_id FROM a WHERE a.cell IN (SELECT p FROM probes)
+      |        ORDER BY list_cosine_similarity(a.embedding, (SELECT qe FROM q)) DESC, a.vec_id
+      |        LIMIT 10)
+      |SELECT 10 AS k, count(*) AS hits,
+      |  round(CAST(count(*) AS DOUBLE) / 10, 4) AS recall
+      |FROM brute WHERE vec_id IN (SELECT vec_id FROM ivf)""".stripMargin
+
+  /** The PRODUCTION IVF path: sample-trained Lloyd's centroids (c=16,
+    * 3 iterations), nProbe=3 — rows-only (k-means is not
+    * SQL-expressible) but every moving part is the oracled seeded
+    * pipeline with different centroid constants, and IvfSpec asserts
+    * planted-cluster recall + partition pruning.
+    */
+  def simIvfStoreTopK(s: SparkSession, dir: String): DataFrame =
+    Ivf.topKFromStore(s, ivfStore(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 10, nProbe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+
   /** REAL audio decode, oracled end to end: each embedding vector is
     * quantized to int16 (floor(clamp(v)·32767 + ½) — floor+½ because
     * the two engines' round() half-rules must not be trusted to agree),
@@ -1184,6 +1264,8 @@ object Queries {
     docStore(s, dir)
     annStore(s, dir)
     axisAnnStore(s, dir)
+    ivfSeedStore(s, dir)
+    ivfStore(s, dir)
     ()
   }
 
@@ -1199,6 +1281,34 @@ object Queries {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-annaxis-${Integer.toHexString(dir.hashCode)}"
       Similarity.writeBucketedStore(t(s, dir, "embeddings"), "vec_id", "embedding", p,
         nPlanes = 6, axis = true)
+      p
+    })
+
+  /** IVF store with SEEDED centroids — the embeddings with vec_id 0..7
+    * in id order, zero Lloyd iterations — so cell index == centroid
+    * vec_id and the whole assignment is SQL-mirrorable (sim_ivf_topk's
+    * oracle re-derives it from the same 8 rows).
+    */
+  private def ivfSeedStore(s: SparkSession, dir: String): String =
+    builtStores.getOrElseUpdate(s"ivfseed:$dir", {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfseed-${Integer.toHexString(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      require(cents.length == 8, s"expected 8 seed centroids, got ${cents.length}")
+      Ivf.writeIvfStore(emb, "vec_id", "embedding", p, cents)
+      p
+    })
+
+  /** Production IVF store: Lloyd-trained centroids (c=16, 3 iters) over
+    * the deterministic hash sample.
+    */
+  private def ivfStore(s: SparkSession, dir: String): String =
+    builtStores.getOrElseUpdate(s"ivf:$dir", {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfstore-${Integer.toHexString(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      val cents = Ivf.train(emb, "vec_id", "embedding", c = 16, iters = 3)
+      Ivf.writeIvfStore(emb, "vec_id", "embedding", p, cents)
       p
     })
 
@@ -1379,6 +1489,9 @@ object Queries {
     "sim_ann_store_topk" -> (simAnnStoreTopK _),
     "sim_ann_axis_topk" -> (simAnnAxisTopK _),
     "sim_ann_recall" -> (simAnnRecall _),
+    "sim_ivf_topk" -> (simIvfTopK _),
+    "sim_ivf_recall" -> (simIvfRecall _),
+    "sim_ivf_store_topk" -> (simIvfStoreTopK _),
     "media_wav_features" -> (mediaWavFeatures _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
@@ -1455,6 +1568,8 @@ object Queries {
     "sim_lsh_axis_buckets" -> simLshAxisBucketsSql,
     "sim_ann_axis_topk" -> simAnnAxisTopKSql,
     "sim_ann_recall" -> simAnnRecallSql,
+    "sim_ivf_topk" -> simIvfTopKSql,
+    "sim_ivf_recall" -> simIvfRecallSql,
     "dedup_embedding" -> dedupEmbeddingSql
   )
 }
