@@ -145,6 +145,54 @@ object Queries {
       |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
       |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_orderless_customers""".stripMargin
 
+  /** Backward as-of join: every purchase matched to the same user's
+    * most recent click at-or-before it (null when none). The engine
+    * runs AsOf.join's union+window carry (one shuffle, no range nested
+    * loop); DuckDB's native ASOF LEFT JOIN independently recomputes the
+    * same semantics — a full second implementation of the operator.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"), prefix = "click_")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS click_ts, r.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  /** Forward as-of join with tolerance: each signup matched to the same
+    * user's FIRST purchase within 7 days after it (the conversion-window
+    * query); matches outside the window null out, the signup row stays.
+    */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    AsOf.join(signups, purchases, Seq("user_id"), "ts", "ts", Seq("value"),
+        direction = "forward", prefix = "purchase_",
+        toleranceUs = Some(7L * 24 * 3600 * 1000000))
+      .orderBy("event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT l.event_id, l.user_id, l.ts,
+      |  CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 604800000000 THEN r.ts END AS purchase_ts,
+      |  CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 604800000000 THEN r.value END AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   /** Window prefix-scan (the reference's only window op:
     * cumulative_sum, ndarray.py:638).
     */
@@ -1470,6 +1518,8 @@ object Queries {
     "q17_time_window" -> (q17TimeWindow _),
     "q18_math" -> (q18Math _),
     "q19_semi_anti" -> (q19SemiAnti _),
+    "asof_join" -> (asofJoin _),
+    "asof_join_forward" -> (asofJoinForward _),
     "q20_validate" -> (q20Validate _),
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "q22_argminmax" -> (q22ArgMinMax _),
@@ -1535,6 +1585,8 @@ object Queries {
     "q17_time_window" -> q17Sql,
     "q18_math" -> q18Sql,
     "q19_semi_anti" -> q19Sql,
+    "asof_join" -> asofJoinSql,
+    "asof_join_forward" -> asofJoinForwardSql,
     "q20_validate" -> q20Sql,
     "q21_csv_roundtrip" -> q21Sql,
     "q22_argminmax" -> q22Sql,
