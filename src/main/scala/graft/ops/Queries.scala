@@ -193,6 +193,114 @@ object Queries {
       |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Point-in-interval range join: lineitems shipped within the week
+    * after each order's date (no key relation — a pure range join).
+    * The engine runs RangeJoin's bucketized equi-join (weekly buckets,
+    * interval replication ~2, residual inequality as join filter);
+    * DuckDB recomputes with its native inequality join (IEJoin) — an
+    * independent second implementation of the operator.
+    */
+  def rangeJoinPoint(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_week_end"))
+    val li = t(s, dir, "lineitem").select(col("l_shipdate"), col("l_quantity"))
+    RangeJoin.pointInInterval(li, orders, "l_shipdate", "o_orderdate", "o_week_end",
+        bucketWidth = 7L * 86400 * 1000000, rightPrefix = "")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val rangeJoinPointSql: String =
+    """SELECT o.o_orderkey, count(*) AS n_shipped, sum(l.l_quantity) AS sum_qty
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Interval-overlap range join: shipping windows (shipdate →
+    * shipdate + qty%7+1 days) of two disjoint lineitem slices that
+    * overlap in time, counted per returnflag pair. The engine explodes
+    * both sides into 2-week buckets and dedups pair multiplicity with
+    * the overlap-start-bucket trick (no distinct); DuckDB brute-forces
+    * the quadratic inequality join.
+    */
+  def rangeJoinOverlap(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate").as("lo"),
+        (col("l_shipdate") + make_dt_interval(
+          days = col("l_quantity").cast("int") % 7 + 1)).as("hi"))
+    val a = f.filter(col("l_orderkey") % 2 === 0).select(col("l_returnflag").as("a_flag"),
+      col("lo"), col("hi"))
+    val b = f.filter(col("l_orderkey") % 2 === 1).select(col("l_returnflag").as("b_flag"),
+      col("lo"), col("hi"))
+    RangeJoin.intervalOverlap(a, b, "lo", "hi", "lo", "hi",
+        bucketWidth = 14L * 86400 * 1000000)
+      .groupBy("a_flag", "r_b_flag")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("r_b_flag", "b_flag")
+      .orderBy("a_flag", "b_flag")
+  }
+
+  val rangeJoinOverlapSql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey, l_returnflag, l_shipdate AS lo,
+      |         l_shipdate + to_days(CAST(l_quantity AS INT) % 7 + 1) AS hi
+      |  FROM lineitem WHERE l_suppkey % 97 = 0)
+      |SELECT a.l_returnflag AS a_flag, b.l_returnflag AS b_flag, count(*) AS n_pairs
+      |FROM (SELECT * FROM f WHERE l_orderkey % 2 = 0) a
+      |JOIN (SELECT * FROM f WHERE l_orderkey % 2 = 1) b
+      |  ON a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sequence packing manifest: documents packed into 1024-token
+    * training sequences across 8 deterministic shards (Pack's
+    * concat-then-chunk layout — one hash shuffle + per-shard window,
+    * no global sort). DuckDB replays the identical layout with SQL
+    * window functions over the same whitespace token counts
+    * (`text_tokens` hash-verifies the tokenizer itself).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Pack.summary(t(s, dir, "documents"), "doc_id",
+        TextOps.tokenCount(col("text")), nShards = 8, budget = 1024L)
+      .orderBy("shard", "seq")
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         len(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, tok,
+      |         sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      |  FROM d)
+      |SELECT shard, CAST(floor((cum - tok) / 1024.0) AS BIGINT) AS seq,
+      |       count(*) AS n_docs, sum(tok) AS n_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Deterministic stratified sample: per-language keep rates applied
+    * as a pure id-hash filter (Sampling.stratified — reproducible
+    * across engines, no RNG). Row-level oracle: DuckDB recomputes the
+    * mix arithmetic and must select the exact same doc_ids.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 1000, "de" -> 500, "fr" -> 250, "es" -> 125),
+        defaultPerMille = 64)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang, source, doc_id * 2654435761 AS h FROM documents)
+      |SELECT doc_id, lang, source FROM m
+      |WHERE xor(h, h >> 13) % 1000 <
+      |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'fr' THEN 250
+      |            WHEN 'es' THEN 125 ELSE 64 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Window prefix-scan (the reference's only window op:
     * cumulative_sum, ndarray.py:638).
     */
@@ -1520,6 +1628,10 @@ object Queries {
     "q19_semi_anti" -> (q19SemiAnti _),
     "asof_join" -> (asofJoin _),
     "asof_join_forward" -> (asofJoinForward _),
+    "range_join_point" -> (rangeJoinPoint _),
+    "range_join_overlap" -> (rangeJoinOverlap _),
+    "pack_sequences" -> (packSequences _),
+    "sample_stratified" -> (sampleStratified _),
     "q20_validate" -> (q20Validate _),
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "q22_argminmax" -> (q22ArgMinMax _),
@@ -1587,6 +1699,10 @@ object Queries {
     "q19_semi_anti" -> q19Sql,
     "asof_join" -> asofJoinSql,
     "asof_join_forward" -> asofJoinForwardSql,
+    "range_join_point" -> rangeJoinPointSql,
+    "range_join_overlap" -> rangeJoinOverlapSql,
+    "pack_sequences" -> packSequencesSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "q20_validate" -> q20Sql,
     "q21_csv_roundtrip" -> q21Sql,
     "q22_argminmax" -> q22Sql,
