@@ -30,7 +30,11 @@ object PlanDump {
     "dedup_exact" -> "exact dedup: hash-partial group-by on the digest",
     "dedup_embedding" -> "near-dup pairs: bucket-equality join (never a cartesian), codegen'd dot",
     "sim_topk_cosine" -> "brute-force cosine top-k: native vec_dot inside WholeStageCodegen + TakeOrdered",
-    "text_quality" -> "text metrics: pure column expressions, single codegen'd scan"
+    "text_quality" -> "text metrics: pure column expressions, single codegen'd scan",
+    "asof_join" -> "as-of join: ONE shuffle (union on key), window carry — no range nested loop",
+    "range_join_point" -> "range join: bucketized shuffled equi-join, inequality as residual filter",
+    "pack_sequences" -> "sequence packing: hash-partitioned per-shard windows, no global sort",
+    "sample_stratified" -> "stratified sample: id-hash filter inside the scan stage (the only exchange is the presentation sort; the operator itself is shuffle-free, PackSamplingSpec)"
   )
 
   def main(args: Array[String]): Unit = {
