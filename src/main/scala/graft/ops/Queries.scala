@@ -201,7 +201,12 @@ object Queries {
     * independent second implementation of the operator.
     */
   def rangeJoinPoint(s: SparkSession, dir: String): DataFrame = {
+    // every-100th order as the "promo window" set: keeps the query's
+    // INTRINSIC match count linear in the data (all-windows × all-ships
+    // is quadratic at any engine — 260M pairs at sf0.1 — a fixture
+    // property, not an operator one)
     val orders = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"), col("o_orderdate"),
         (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_week_end"))
     val li = t(s, dir, "lineitem").select(col("l_shipdate"), col("l_quantity"))
@@ -214,7 +219,7 @@ object Queries {
 
   val rangeJoinPointSql: String =
     """SELECT o.o_orderkey, count(*) AS n_shipped, sum(l.l_quantity) AS sum_qty
-      |FROM orders o JOIN lineitem l
+      |FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o JOIN lineitem l
       |  ON l.l_shipdate >= o.o_orderdate
       | AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -300,6 +305,58 @@ object Queries {
       |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'fr' THEN 250
       |            WHEN 'es' THEN 125 ELSE 64 END
       |ORDER BY doc_id""".stripMargin
+
+  /** Sessionization: each user's event stream split at >6 h inactivity
+    * gaps (Sessionize's gaps-and-islands windows — one shuffle on the
+    * key, two stacked ordered windows). DuckDB rebuilds the identical
+    * construction in windowed SQL: per-session event counts, spans and
+    * value sums must match exactly.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.summary(t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapUs = 6L * 3600 * 1000000, valueCol = "value")
+      .withColumn("value_sum", round(col("value_sum"), 4))
+      .orderBy("user_id", "session")
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, ts,
+      |         epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, value, ts,
+      |         sum(CASE WHEN gap_us IS NULL OR gap_us > 21600000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session
+      |  FROM g)
+      |SELECT user_id, session, count(*) AS n_events,
+      |       max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+      |       round(sum(value), 4) AS value_sum
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Exact interpolated quantiles (reference: describe()'s percentile
+    * rows, ndarray.py quantile paths) per group — Spark's `percentile`
+    * and DuckDB's `quantile_cont` implement the same h = p·(n−1)
+    * linear interpolation, so values match to fp.
+    */
+  def q25Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  val q25Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Window prefix-scan (the reference's only window op:
     * cumulative_sum, ndarray.py:638).
@@ -1632,6 +1689,8 @@ object Queries {
     "range_join_overlap" -> (rangeJoinOverlap _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
+    "sessionize" -> (sessionize _),
+    "q25_quantiles" -> (q25Quantiles _),
     "q20_validate" -> (q20Validate _),
     "q21_csv_roundtrip" -> (q21CsvRoundtrip _),
     "q22_argminmax" -> (q22ArgMinMax _),
@@ -1703,6 +1762,8 @@ object Queries {
     "range_join_overlap" -> rangeJoinOverlapSql,
     "pack_sequences" -> packSequencesSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sessionize" -> sessionizeSql,
+    "q25_quantiles" -> q25Sql,
     "q20_validate" -> q20Sql,
     "q21_csv_roundtrip" -> q21Sql,
     "q22_argminmax" -> q22Sql,
