@@ -62,6 +62,37 @@ class AsOfSpec extends SparkTestBase {
     assert(out == 7.0, s"tie must take the largest (ts, vals) struct, got $out")
   }
 
+  test("joinSliced ≡ join on randomized hot-key data, both directions, with tolerance") {
+    val rnd = new scala.util.Random(11)
+    def randTs(): Timestamp = // one hot key dominating, ts over ~3 days
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + rnd.nextInt(259200) * 1000L)
+    def key(): Long = if (rnd.nextInt(4) > 0) 7L else rnd.nextInt(5).toLong
+    val l = (1 to 800).map(i => (i.toLong, key(), randTs())).toDF("id", "k", "t")
+    val r = (1 to 600).map(i => (key(), randTs(), rnd.nextInt(100).toDouble)).toDF("k", "t", "v")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(2L * 3600 * 1000000))) {
+      val plain = AsOf.join(l, r, Seq("k"), "t", "t", Seq("v"), dir, toleranceUs = tol)
+        .collect().map(_.toString).sorted
+      // slice width (1h) intentionally smaller than typical match gaps,
+      // so MOST matches cross slice boundaries and exercise the carry
+      val sliced = AsOf.joinSliced(l, r, Seq("k"), "t", "t", Seq("v"),
+          sliceWidthUs = 3600L * 1000000, direction = dir, toleranceUs = tol)
+        .collect().map(_.toString).sorted
+      assert(plain.length == 800 && sliced.length == 800, s"$dir/$tol row counts")
+      assert(plain.sameElements(sliced), {
+        val d = plain.zip(sliced).find { case (a, b) => a != b }
+        s"$dir tol=$tol first diff: $d"
+      })
+    }
+  }
+
+  test("joinSliced windows partition by (key, slice); the per-key pass only sees the timeline") {
+    val plan = AsOf.joinSliced(left, right, Seq("k"), "t", "t", Seq("v"),
+        sliceWidthUs = 3600L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_slc"), s"expected slice-partitioned window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("plan: one window over the union — no nested-loop or cartesian join") {
     val plan = AsOf.join(left, right, Seq("k"), "t", "t", Seq("v"))
       .queryExecution.executedPlan.toString
