@@ -72,6 +72,16 @@ object ScalingBench {
       println(s"  alloc-row : ${stats(times("alloc"))}")
       spark.stop()
 
+    // engine-vs-baseline on the 25%-vendored-dup corpus (the LDM regime)
+    case "dup" :: nRows :: parts :: Nil =>
+      val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+      val r = Bench.dupCorpusBench(spark, nRows.toLong, parts.toInt)
+      println(r.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.4f""" }
+        .mkString("{", ",", "}"))
+      spark.stop()
+
     case "baseline" :: nRows :: parts :: Nil =>
       val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       val corpus = Corpus.generate(spark, nRows.toLong, parts.toInt).toDF().cache()

@@ -54,13 +54,36 @@ object Corpus {
   /** hotRepoFrac > 0 routes that fraction of rows to a single hot repo
     * (the skew fixture: FIXTURES.md §1 "one hot repo = 50% of rows").
     */
-  def file(seed: Long, id: Long, hotRepoFrac: Double): CodeFile = {
+  def file(seed: Long, id: Long, hotRepoFrac: Double): CodeFile =
+    file(seed, id, hotRepoFrac, 0.0, 0L)
+
+  /** dupFrac > 0 draws that fraction of rows' CONTENT (and the lang it
+    * implies) from a shared pool of `dupPool` popular files — the
+    * vendored/forked-file model (public exact-dup estimates for code
+    * corpora run 20-40% of files). Copies are exact and land at long
+    * range from each other, which is the regime the codec layer's
+    * dup-gated LDM targets. Repo/path/commit stay unique per row, like
+    * the same file vendored into many repos. Still a pure per-row
+    * function: no state, no partition sensitivity.
+    */
+  def file(seed: Long, id: Long, hotRepoFrac: Double,
+           dupFrac: Double, dupPool: Long): CodeFile = {
     val h0 = mix(seed ^ id)
     val h1 = mix(h0)
     val h2 = mix(h1)
     val h3 = mix(h2)
 
-    val langIdx = zipf(h0, LANGS.length)
+    val h4 = mix(h3 ^ 0xd1b54a32d192ed03L)
+    val dup = dupFrac > 0 && dupPool > 0 &&
+      ((h4 >>> 11).toDouble / (1L << 53).toDouble) < dupFrac
+    // all copies of pool file k share contentSeed → identical content+lang
+    val contentSeed =
+      if (dup) mix(seed ^ 0x5851f42d4c957f2dL ^ java.lang.Long.remainderUnsigned(mix(h4), dupPool))
+      else h0 ^ h3
+
+    val langIdx =
+      if (dup) ((mix(contentSeed) & 0x7fffffffL) % LANGS.length).toInt
+      else zipf(h0, LANGS.length)
     val lang = LANGS(langIdx)
 
     val hot = hotRepoFrac > 0 &&
@@ -94,7 +117,7 @@ object Corpus {
       c.toString()
     }
 
-    CodeFile(repo, path, commit, lang, content(h0 ^ h3, lang))
+    CodeFile(repo, path, commit, lang, content(contentSeed, lang))
   }
 
   /** Synthetic source text: keyword-heavy lines, indentation, repeated
@@ -155,10 +178,11 @@ object Corpus {
 
   /** Distributed generator: nRows over nParts partitions. */
   def generate(spark: SparkSession, nRows: Long, nParts: Int,
-               seed: Long = 42L, hotRepoFrac: Double = 0.0): Dataset[CodeFile] = {
+               seed: Long = 42L, hotRepoFrac: Double = 0.0,
+               dupFrac: Double = 0.0, dupPool: Long = 0L): Dataset[CodeFile] = {
     implicit val enc: org.apache.spark.sql.Encoder[CodeFile] = Encoders.product[CodeFile]
     spark.range(0L, nRows, 1L, nParts).mapPartitions { ids =>
-      ids.map(id => file(seed, id, hotRepoFrac))
+      ids.map(id => file(seed, id, hotRepoFrac, dupFrac, dupPool))
     }
   }
 }

@@ -211,4 +211,53 @@ class CodecSpec extends AnyFunSuite {
       roundtripLong(vs, plan.method, plan.entropy)
     }
   }
+
+  // ------------------------------------------- long-distance matching
+
+  /** chunk-shaped values: ~8 KiB pseudo-text blobs, `dupFrac` of the
+    * mass re-emitting an earlier value at long range (vendored-file
+    * model)
+    */
+  private def dupHeavyValues(nVals: Int, dupFrac: Double): Array[Array[Byte]] = {
+    val gens = new java.util.Random(11)
+    val seen = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    Array.tabulate(nVals) { _ =>
+      if (seen.nonEmpty && gens.nextDouble() < dupFrac) seen(gens.nextInt(seen.length))
+      else {
+        val b = new Array[Byte](6000 + gens.nextInt(4000))
+        var j = 0
+        while (j < b.length) { b(j) = ("resultbuffer index=${}\n".charAt(j % 23) ^ (gens.nextInt(8))).toByte; j += 1 }
+        seen += b
+        b
+      }
+    }
+  }
+
+  test("LDM: dup-gated wide window shrinks dup-heavy bodies, exact roundtrip either way") {
+    // body-level A/B: >= LDM_MIN_BYTES of text with 30% exact-dup values
+    val vals = dupHeavyValues(800, 0.30) // ~6.4 MB
+    val body = new Bytes.Writer(8 << 20)
+    vals.foreach(v => body.putBytes(v))
+    val raw = java.util.Arrays.copyOf(body.rawBuffer, body.size)
+    val off = Entropy.compressRange(Entropy.ZSTD, 3, raw, raw.length)
+    val on = Entropy.compressRange(Entropy.ZSTD, 3, raw, raw.length, ldmHint = true)
+    assert(on.length < off.length * 0.95, s"ldm=${on.length} plain=${off.length}")
+    assert(Entropy.decompress(Entropy.ZSTD, on, raw.length).toSeq == raw.toSeq)
+    assert(Entropy.decompress(Entropy.ZSTD, off, raw.length).toSeq == raw.toSeq)
+
+    // hint: fires on the dup-heavy chunk, stays off on the dup-free one
+    // (dup-free chunks keep the exact pre-LDM byte stream)
+    assert(ChunkCodec.ldmHint(BinVec(vals)))
+    assert(!ChunkCodec.ldmHint(BinVec(dupHeavyValues(800, 0.0))))
+
+    // full chunk path through the hint: exact value roundtrip
+    val block = ChunkCodec.encode(BinVec(vals), Plan(Method.PLAIN, Entropy.ZSTD, 3))
+    val out = ChunkCodec.decode(block).asInstanceOf[BinVec]
+    assert(out.n == vals.length)
+    var i = 0
+    while (i < vals.length) {
+      assert(java.util.Arrays.equals(out.values(i), vals(i)), s"row $i")
+      i += 1
+    }
+  }
 }
