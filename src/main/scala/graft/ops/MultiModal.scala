@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * mean/RMS/zero-crossing features — oracled end to end by
   * `media_wav_features` (DuckDB recomputes the integer-exact feature
   * sums from the same source values the WAV was built from).
-  * Image/video decode remains STUBBED (this container has no
-  * image/video libraries — see the builder mandate): `fakeDecode`
-  * produces a deterministic feature vector from the bytes, standing in
-  * for decode + model inference, while everything Spark-side — binary
-  * schema, partitioning, batch shape, null handling, the feature
-  * pipeline — is real and tested. The binary codec path itself
-  * (BinaryType through ChunkCodec) is first-class: media columns
-  * compress/roundtrip like any other column.
+  * IMAGE decode is REAL: [[Png]] is a dependency-free PNG parser
+  * (CRC-checked chunks, JDK Inflater, all five row filters, gray /
+  * RGB / palette / alpha) feeding dimensions + grid-luminance
+  * features — oracled end to end by `media_png_features`. Only VIDEO
+  * (and JPEG entropy decode) remains STUBBED (no codec libraries in
+  * this container): `fakeDecode` produces a deterministic feature
+  * vector from the bytes, standing in for decode + model inference,
+  * while everything Spark-side — binary schema, partitioning, batch
+  * shape, null handling, the feature pipeline — is real and tested.
+  * The binary codec path itself (BinaryType through ChunkCodec) is
+  * first-class: media columns compress/roundtrip like any other
+  * column.
   */
 object MultiModal {
 
@@ -151,9 +155,12 @@ object MultiModal {
       mediaType: String, // sniffed from magic bytes
       sizeBytes: Int,
       byteEntropy: Double, // Shannon entropy of the byte histogram
-      embedding: Array[Float], // STUB decode → fixed-dim feature vector
+      embedding: Array[Float], // REAL grid-luma for decodable PNGs; stub otherwise
       audioRms: Option[Double], // REAL WavPcm decode (wav items only)
-      audioZeroCross: Option[Long]
+      audioZeroCross: Option[Long],
+      imgWidth: Option[Int], // REAL Png decode (well-formed png items only)
+      imgHeight: Option[Int],
+      imgChannels: Option[Int]
   )
 
   /** Magic-byte container sniffing (public file signatures). */
@@ -209,14 +216,19 @@ object MultiModal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        if (r.isNullAt(mIdx)) MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None)
+        if (r.isNullAt(mIdx))
+          MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None, None, None, None)
         else {
           val bytes = r.getAs[Array[Byte]](mIdx)
-          // wav → REAL decode (None for malformed payloads, fail-soft);
-          // image/video → stub embedding
+          // wav + png → REAL decodes (None for malformed payloads,
+          // fail-soft); jpeg/video → stub embedding
           val audio = WavPcm.decode(bytes).map(WavPcm.features)
-          MediaFeatures(id, sniffType(bytes), bytes.length, byteEntropy(bytes),
-            fakeDecode(bytes), audio.map(_.rmsUnit), audio.map(_.zeroCrossings))
+          val kind = sniffType(bytes)
+          val img = if (kind == "png") Png.decode(bytes) else None
+          val emb = img.map(im => Png.gridLuma(im)).getOrElse(fakeDecode(bytes))
+          MediaFeatures(id, kind, bytes.length, byteEntropy(bytes),
+            emb, audio.map(_.rmsUnit), audio.map(_.zeroCrossings),
+            img.map(_.width), img.map(_.height), img.map(_.channels))
         }
       }
     }(Encoders.product[MediaFeatures]).toDF()
@@ -237,7 +249,23 @@ object MultiModal {
       while (i < len) { x = mix(x); b(i) = (x & 0xff).toByte; i += 1 }
       kind match {
         case 0 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte; (id, b)
-        case 1 => b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'; (id, b)
+        case 1 =>
+          // a REAL parseable PNG (ImageIO-encoded noisy raster), so
+          // featurize's image path decodes; noise keeps entropy high
+          val w = 24 + ((h >>> 16) & 15).toInt
+          val ht = 16 + ((h >>> 24) & 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var z = h
+          var y = 0
+          while (y < ht) {
+            var x2 = 0
+            while (x2 < w) { z = mix(z); img.setRGB(x2, y, (z & 0xffffff).toInt); x2 += 1 }
+            y += 1
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bo)
+          (id, bo.toByteArray)
         case 2 =>
           // a REAL parseable PCM clip, so featurize's wav path decodes
           val ns = 64 + ((h >>> 8) & 0x3f).toInt

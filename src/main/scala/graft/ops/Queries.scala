@@ -1006,6 +1006,65 @@ object Queries {
       |  round(sqrt(CAST(list_sum([x * x for x in s]) AS DOUBLE) / len(s)) / 32768.0, 6) AS rms_unit
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Real PNG decode, oracled end-to-end: each image's pixels are a
+    * deterministic per-pixel formula over (x, y, vec_id); the bytes are
+    * produced by the JDK's ImageIO PNG writer — an INDEPENDENT encoder,
+    * not graft code — then decoded by graft's own [[Png]] parser
+    * (signature, CRC-checked chunks, Inflater, all five row filters)
+    * on the executors. Features are integer-exact per-channel sums, so
+    * DuckDB recomputes them from the same formula without ever seeing
+    * a PNG byte: any CRC/inflate/unfilter/channel-order bug in the
+    * parser breaks the hash. Mirrors `media_wav_features`.
+    */
+  def mediaPngFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    t(s, dir, "embeddings").select(col("vec_id")).where(col("vec_id") < 12)
+      .map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = ((x * 37 + y * 11 + id * 7) % 256).toInt
+            val gg = ((x * 7 + y * 29 + id * 13) % 256).toInt
+            val bb = ((x * 23 + y * 5 + id * 3) % 256).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bo = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bo)
+        val dec = Png.decode(bo.toByteArray)
+          .getOrElse(throw new IllegalStateException(s"unparseable fixture png for vec $id"))
+        val sums = Png.channelSums(dec)
+        require(dec.channels == 3, s"expected RGB, got ${dec.channels} channels")
+        PngFeatRow(id, dec.width.toLong, dec.height.toLong, dec.channels.toLong,
+          sums(0), sums(1), sums(2))
+      }(Encoders.product[PngFeatRow])
+      .toDF()
+      .orderBy("vec_id")
+  }
+
+  val mediaPngFeaturesSql: String =
+    """WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 12),
+      |px AS (
+      |  SELECT vec_id, 16 + vec_id % 8 AS w, 8 + vec_id % 5 AS h,
+      |         xs.range AS x, ys.range AS y
+      |  FROM ids CROSS JOIN range(0, 23) xs CROSS JOIN range(0, 12) ys
+      |  WHERE xs.range < 16 + vec_id % 8 AND ys.range < 8 + vec_id % 5)
+      |SELECT vec_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(sum((x * 37 + y * 11 + vec_id * 7) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((x * 7 + y * 29 + vec_id * 13) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((x * 23 + y * 5 + vec_id * 3) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY vec_id, w, h ORDER BY vec_id""".stripMargin
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -1714,6 +1773,7 @@ object Queries {
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_ivf_store_topk" -> (simIvfStoreTopK _),
     "media_wav_features" -> (mediaWavFeatures _),
+    "media_png_features" -> (mediaPngFeatures _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1772,6 +1832,7 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
     "media_wav_features" -> mediaWavFeaturesSql,
+    "media_png_features" -> mediaPngFeaturesSql,
     "q24_cum_prod" -> q24Sql,
     "roundtrip_complex" -> roundtripComplexSql,
     "dedup_simhash_recall" -> dedupSimhashRecallSql,
@@ -1811,3 +1872,9 @@ object Queries {
   */
 final case class WavFeatRow(vec_id: Long, n_samples: Long, sum_samples: Long,
                             sum_sq: Long, zero_crossings: Long, rms_raw: Double)
+
+/** Typed row for `media_png_features` (integer-exact PNG decode
+  * features); top-level for the same Janino reason as [[WavFeatRow]].
+  */
+final case class PngFeatRow(vec_id: Long, width: Long, height: Long, channels: Long,
+                            sum_r: Long, sum_g: Long, sum_b: Long)

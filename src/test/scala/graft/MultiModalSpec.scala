@@ -91,4 +91,90 @@ class MultiModalSpec extends SparkTestBase {
       org.apache.spark.sql.Encoders.STRING).distinct().collect().toSet
     assert(!plans.exists(_.startsWith("dict")), plans.toString)
   }
+
+  // ------------------------------------------------- real PNG decode
+
+  import graft.ops.Png
+  import java.awt.image.BufferedImage
+
+  /** deterministic raster; ImageIO is the INDEPENDENT encoder side */
+  private def testImage(w: Int, h: Int, imgType: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 31 + y * 7) % 256; val g = (x * 13 + y * 17) % 256; val b = (x * 3 + y * 23) % 256
+      // varied (but never fully transparent) alpha for ARGB rasters
+      val a = if (img.getColorModel.hasAlpha) 55 + (x * 5 + y * 11) % 200 else 0xff
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bo))
+    bo.toByteArray
+  }
+
+  test("Png decodes ImageIO output pixel-exactly across color types") {
+    // sizes chosen to exercise ImageIO's per-row filter heuristics
+    // (Sub/Up/Average/Paeth all appear on gradients at these widths)
+    for ((imgType, name) <- Seq(
+        BufferedImage.TYPE_INT_RGB -> "rgb",
+        BufferedImage.TYPE_INT_ARGB -> "rgba",
+        BufferedImage.TYPE_BYTE_GRAY -> "gray",
+        BufferedImage.TYPE_BYTE_INDEXED -> "palette")) {
+      val src = testImage(57, 31, imgType)
+      val dec = Png.decode(pngBytes(src)).getOrElse(fail(s"$name png did not parse"))
+      assert(dec.width == 57 && dec.height == 31, name)
+      val raster = src.getRaster
+      for (y <- 0 until 31; x <- 0 until 57) {
+        val base = (y * dec.width + x) * dec.channels
+        if (dec.channels <= 2) {
+          // gray: PNG stores RAW raster samples (getRGB would apply a
+          // gray→sRGB colorspace conversion, which is NOT in the file)
+          assert((dec.pixels(base) & 0xff) == raster.getSample(x, y, 0), s"$name ($x,$y)")
+        } else {
+          val argb = src.getRGB(x, y) // what ImageIO itself says the pixel is
+          val (r, g, b, a) = dec.channels match {
+            case 3 => (dec.pixels(base) & 0xff, dec.pixels(base + 1) & 0xff,
+              dec.pixels(base + 2) & 0xff, 255)
+            case _ => (dec.pixels(base) & 0xff, dec.pixels(base + 1) & 0xff,
+              dec.pixels(base + 2) & 0xff, dec.pixels(base + 3) & 0xff)
+          }
+          assert(((a << 24) | (r << 16) | (g << 8) | b) == argb, s"$name ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("Png fails soft on dirty bytes, never throws") {
+    val good = pngBytes(testImage(16, 16, BufferedImage.TYPE_INT_RGB))
+    assert(Png.decode(good).isDefined)
+    assert(Png.decode(null).isEmpty)
+    assert(Png.decode(Array.emptyByteArray).isEmpty)
+    assert(Png.decode(good.take(60)).isEmpty) // truncated mid-chunk
+    val flipped = good.clone()
+    flipped(flipped.length / 2) = (flipped(flipped.length / 2) ^ 0x55).toByte
+    assert(Png.decode(flipped).isEmpty, "CRC must catch a flipped IDAT byte")
+    // magic-bytes-only blob (the old synthetic fixture shape)
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill[Byte](200)(9)
+    assert(Png.decode(fake).isEmpty)
+    // forged IHDR dimensions must be rejected, not allocated
+    val forged = good.clone()
+    forged(16) = 0x7f // width high byte → w*h over MAX_PIXELS
+    assert(Png.decode(forged).isEmpty)
+  }
+
+  test("featurize wires the REAL png decode: dimensions + grid-luma embedding") {
+    val feats = MultiModal.featurize(media, "media_id", "media")
+    val png = feats.filter(col("mediaType") === "png")
+    assert(png.count() > 0)
+    assert(png.filter(col("imgWidth").isNull).count() == 0,
+      "every synthetic png is a real image and must decode")
+    assert(feats.filter(col("mediaType") =!= "png")
+      .filter(col("imgWidth").isNotNull).count() == 0)
+    // grid-luma embeddings are unit-scaled, 16-dim
+    val e = png.select(col("embedding")).head().getSeq[Float](0)
+    assert(e.length == 16 && e.forall(v => v >= 0f && v <= 1f))
+  }
 }
