@@ -47,6 +47,7 @@ object Method {
   val DELTA_PACK: Byte = 4 // delta + zigzag + FOR bit-pack
   // doubles
   val SHUFFLE: Byte = 5 // byte transpose (blosc2 SHUFFLE filter analog)
+  val ALP: Byte = 9 // decimal-scaled longs + FOR bit-pack, raw-bits exceptions
   // strings / binary
   val DICT: Byte = 6 // chunk-local dictionary, bit-packed codes
   val FSST: Byte = 7 // symbol-table byte compression (FSST-style)
@@ -62,6 +63,7 @@ object Method {
     case DICT => "dict"
     case FSST => "fsst"
     case BYTEPACK => "bytepack"
+    case ALP => "alp"
     case m if CodecRegistry.isPluginId(m) =>
       CodecRegistry.binKernel(m).map(_.name).getOrElse(s"plugin$m")
     case _ => s"m$m"

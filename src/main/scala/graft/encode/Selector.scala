@@ -43,6 +43,11 @@ object Selector {
     case v: DoubleVec =>
       if (isConstD(v)) Seq(Plan(Method.CONST, Entropy.NONE))
       else Seq(
+        // decimal-like chunks collapse under ALP (scaled longs + FOR);
+        // true floating-point noise degrades to exceptions and loses
+        // the trial to SHUFFLE on size — both compete in the cost model
+        Plan(Method.ALP, Entropy.NONE),
+        Plan(Method.ALP, Entropy.ZSTD, ZSTD_LEVEL),
         Plan(Method.SHUFFLE, Entropy.ZSTD, ZSTD_LEVEL),
         Plan(Method.SHUFFLE, Entropy.LZ4),
         Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL)
@@ -99,6 +104,7 @@ object Selector {
       case Method.DICT => 8.0
       case Method.BYTEPACK => 5.0
       case Method.RLE | Method.FOR_PACK | Method.DELTA_PACK | Method.SHUFFLE => 2.0
+      case Method.ALP => 2.5 // mult+round+div verify per value
       case id if CodecRegistry.isPluginId(id) =>
         CodecRegistry.binKernel(id).map(_.nsPerByte).getOrElse(8.0)
       case _ => 0.5

@@ -118,12 +118,54 @@ class CodecSpec extends AnyFunSuite {
     val vs = Array(0.0, -0.0, 1.5, Double.NaN, Double.PositiveInfinity,
       Double.NegativeInfinity, Double.MinPositiveValue, math.Pi) ++
       Array.fill(1000)(rnd.nextGaussian() * 1e6)
-    for (m <- Seq(Method.PLAIN, Method.SHUFFLE); e <- Seq(Entropy.NONE, Entropy.ZSTD)) {
+    for (m <- Seq(Method.PLAIN, Method.SHUFFLE, Method.ALP); e <- Seq(Entropy.NONE, Entropy.ZSTD)) {
       val block = ChunkCodec.encode(DoubleVec(vs), Plan(m, e))
       val out = ChunkCodec.decode(block).asInstanceOf[DoubleVec]
       assert(vs.indices.forall(i =>
-        java.lang.Double.doubleToRawLongBits(out.values(i)) == java.lang.Double.doubleToRawLongBits(vs(i))))
+        java.lang.Double.doubleToRawLongBits(out.values(i)) == java.lang.Double.doubleToRawLongBits(vs(i))),
+        s"m=$m e=$e")
     }
+  }
+
+  test("ALP: decimal doubles collapse to packed longs; noise degrades to exceptions") {
+    // price-like fixture: RANDOM 2-decimal values in a bounded range
+    // (lineitem prices) — random so the SHUFFLE+zstd comparison can't
+    // ride arithmetic-progression byte-plane patterns
+    val prices = Array.fill(20000)((rnd.nextInt(910000) + 90000) / 100.0)
+    val alp = ChunkCodec.encode(DoubleVec(prices), Plan(Method.ALP, Entropy.NONE))
+    val shuf = ChunkCodec.encode(DoubleVec(prices), Plan(Method.SHUFFLE, Entropy.ZSTD, 3))
+    val out = ChunkCodec.decode(alp).asInstanceOf[DoubleVec]
+    assert(prices.indices.forall(i => out.values(i) == prices(i)))
+    // ~24 bits/value FOR-packed vs byte-planed zstd of the same data
+    assert(alp.length < shuf.length, s"alp=${alp.length} shuffle=${shuf.length}")
+    assert(alp.length < prices.length * 4, s"alp=${alp.length} (want < 4 B/value)")
+
+    // the selector prefers ALP on decimal data, and its choice roundtrips
+    val plan = graft.encode.Selector.choose(DoubleVec(prices))
+    assert(plan.method == Method.ALP, plan.label)
+
+    // sprinkle non-decimals: correctness holds, exceptions stay exact
+    val dirty = prices.clone()
+    dirty(7) = Double.NaN; dirty(100) = math.Pi; dirty(4000) = -0.0
+    dirty(9999) = Double.NegativeInfinity; dirty(19999) = 1e300
+    val block2 = ChunkCodec.encode(DoubleVec(dirty), Plan(Method.ALP, Entropy.NONE))
+    val out2 = ChunkCodec.decode(block2).asInstanceOf[DoubleVec]
+    assert(dirty.indices.forall(i =>
+      java.lang.Double.doubleToRawLongBits(out2.values(i)) == java.lang.Double.doubleToRawLongBits(dirty(i))))
+
+    // all-noise chunk: ALP must still roundtrip (100% exceptions), but
+    // the selector must NOT pick it there
+    val noise = Array.fill(5000)(rnd.nextGaussian())
+    val out3 = ChunkCodec.decode(
+      ChunkCodec.encode(DoubleVec(noise), Plan(Method.ALP, Entropy.NONE))).asInstanceOf[DoubleVec]
+    assert(noise.indices.forall(i => out3.values(i) == noise(i)))
+    assert(graft.encode.Selector.choose(DoubleVec(noise)).method != Method.ALP)
+
+    // nulls ride the validity bitmap like every other method
+    val withNulls = DoubleVec(prices.take(500), Array.tabulate(500)(_ % 7 != 0))
+    val out4 = ChunkCodec.decode(
+      ChunkCodec.encode(withNulls, Plan(Method.ALP, Entropy.NONE))).asInstanceOf[DoubleVec]
+    assert((0 until 500).forall(i => if (i % 7 == 0) !out4.isValid(i) else out4.values(i) == prices(i)))
   }
 
   // -------------------------------------------------------- bin kernels
