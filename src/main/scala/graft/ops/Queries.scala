@@ -1157,6 +1157,29 @@ object Queries {
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-line repetition signals (boilerplate/template filter):
+    * pure column functions, one codegen'd scan; DuckDB mirrors the
+    * list arithmetic exactly.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.lineCount(col("text")).as("n_lines"),
+        TextOps.distinctLineCount(col("text")).as("distinct_lines"),
+        TextOps.dupLineRatio(col("text")).as("dup_line_ratio"),
+        TextOps.maxLineLen(col("text")).as("max_line_len"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS distinct_lines,
+      |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+      |            / len(string_split(text, chr(10))), 4) AS dup_line_ratio,
+      |  CAST(list_max(list_transform(string_split(text, chr(10)), l -> length(l))) AS BIGINT) AS max_line_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // =================================================== north-rule encode
 
   /** THE roundtrip proof, oracle-checked per row: encode the documents
@@ -1778,6 +1801,7 @@ object Queries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
     "corpus_roundtrip_sha" -> (corpusRoundtripSha _),
     "corpus_encode_stats" -> (corpusEncodeStats _),
     "corpus_codec_plans" -> (corpusCodecPlans _),
@@ -1840,6 +1864,7 @@ object Queries {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
     "corpus_roundtrip_sha" -> corpusRoundtripShaSql,
     "corpus_encode_stats" -> corpusEncodeStatsSql,
     "roundtrip_orders" -> roundtripOrdersSql,

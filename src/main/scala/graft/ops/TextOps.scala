@@ -78,4 +78,21 @@ object TextOps {
     */
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+
+  // ---- repetition / boilerplate signals (duplicate-line mass is the
+  // standard cheap filter for templated and machine-generated docs;
+  // all pure column functions, single codegen'd scan)
+
+  private def lines(t: Column): Column = split(t, "\n")
+
+  def lineCount(t: Column): Column = size(lines(t)).cast("long")
+
+  def distinctLineCount(t: Column): Column = size(array_distinct(lines(t))).cast("long")
+
+  /** Fraction of lines that repeat an earlier line of the same doc. */
+  def dupLineRatio(t: Column): Column =
+    round(lit(1.0) - distinctLineCount(t).cast("double") / lineCount(t), 4)
+
+  def maxLineLen(t: Column): Column =
+    array_max(transform(lines(t), l => length(l))).cast("long")
 }
