@@ -129,15 +129,19 @@ object GraftJob {
       println(f"""{"job":"delete","col":"$colName","deleted":$deleted,"sec":$sec%.2f}""")
       spark.stop()
 
-    // recluster <dir> <col> — decode-free physical re-order of chunks
-    // by a column's zone key (reference reorder_offsets); payloads and
+    // recluster <dir> <col[,col2[,col3]]> — decode-free physical
+    // re-order of chunks by a column's zone key (reference
+    // reorder_offsets), or by the Z-ORDER interleave of 2-4 columns'
+    // zone-key ranks (multi-column box-probe locality); payloads and
     // indexes untouched, committed as a snapshot version
     case "recluster" :: dir :: colName :: Nil =>
       val spark = session("graft-recluster")
       val t0 = System.nanoTime()
-      graft.encode.StoreLayout.recluster(spark, dir, codeSchema, colName)
+      val cols = colName.split(',').toSeq
+      if (cols.size == 1) graft.encode.StoreLayout.recluster(spark, dir, codeSchema, colName)
+      else graft.encode.StoreLayout.reclusterZOrder(spark, dir, codeSchema, cols)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"job":"recluster","col":"$colName","sec":$sec%.2f}""")
+      println(f"""{"job":"recluster","col":"$colName","zorder":${cols.size > 1},"sec":$sec%.2f}""")
       spark.stop()
 
     // vacuum <dir> — reap data files no snapshot version references

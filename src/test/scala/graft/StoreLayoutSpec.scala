@@ -120,6 +120,67 @@ class StoreLayoutSpec extends SparkTestBase {
     assert(got.agg(min("v"), max("v")).head() == org.apache.spark.sql.Row(100L, 150L))
   }
 
+  test("zorder recluster: decode-free, multi-column boxes land in adjacent chunks") {
+    import spark.implicits._
+    // ingest model: localized batches — every chunk covers ONE narrow
+    // (x, y) cell of a 16×16 grid, but batches arrive in shuffled cell
+    // order (the post-append interleaving zorder exists to repair)
+    val order = (0 until 256).sortBy(c => graft.corpus.Corpus.mix(c + 99L))
+    val rows = order.flatMap { c =>
+      val cx = c % 16; val cy = c / 16
+      (0 until 64).map(j => (c.toLong * 64 + j, cx * 1000L + j, cy * 1000L + (j * 7) % 64))
+    }
+    val input = rows.toDF("id", "x", "y").coalesce(1)
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.lineage.Lineage.encodeResumable(spark, input, out, Seq("id"),
+      nShards = 1, nBatches = 1, chunkRows = 64)
+
+    def shaSet(): Map[String, Int] =
+      StoreLayout.readBlocks(spark, out).collect()
+        .flatMap(_.cols.map(c => java.util.Base64.getEncoder.encodeToString(c.sha)))
+        .groupBy(identity).map { case (k, vs) => k -> vs.length }
+    val before = shaSet()
+
+    // avg stored-order span of the 16 aligned 4×4-cell box probes:
+    // how far apart a 2-column box's candidate chunks sit in the file
+    def avgBoxSpan(): Double = {
+      val df = graft.encode.Snapshots.storeDf(spark, out)
+        .select(col("g_x.minKey").cast("double").as("mx"),
+          col("g_y.minKey").cast("double").as("my"))
+      assert(df.rdd.getNumPartitions == 1, "span metric needs single-split file order")
+      val metas = df.withColumn("pos", monotonically_increasing_id())
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      val spans = for (a <- 0 until 16 by 4; b <- 0 until 16 by 4) yield {
+        val ps = metas.filter { case (mx, my, _) =>
+          mx >= a * 1000 && mx < (a + 4) * 1000 && my >= b * 1000 && my < (b + 4) * 1000
+        }.map(_._3)
+        assert(ps.length == 16, s"box ($a,$b) expected 16 candidate chunks, got ${ps.length}")
+        (ps.max - ps.min + 1).toDouble
+      }
+      spans.sum / spans.size
+    }
+
+    val spanIngest = avgBoxSpan()
+    StoreLayout.recluster(spark, out, input.schema, "x")
+    val spanX = avgBoxSpan()
+    StoreLayout.reclusterZOrder(spark, out, input.schema, Seq("x", "y"))
+    val spanZ = avgBoxSpan()
+
+    // decode-free: not one payload was re-encoded across BOTH rewrites
+    assert(shaSet() == before, "zorder must move chunks, never recompress them")
+    val decoded = TableCodec.decode(graft.lineage.Lineage.readBlocks(spark, out), input.schema)
+    assert(decoded.count() == 256 * 64)
+    assert(decoded.agg(sum("x")).head().getLong(0) == rows.map(_._2).sum)
+
+    // locality: ingest order scatters a box across the file; single-col
+    // recluster packs x but scatters y; zorder packs the box itself
+    // (ideal span = 16 — a 4×4-aligned box is one z quadrant)
+    assert(spanIngest >= 100, s"shuffled ingest should scatter boxes, got $spanIngest")
+    assert(spanX >= 34, s"x-only recluster leaves y scattered, got $spanX")
+    assert(spanZ <= 48, s"zorder should pack boxes, got $spanZ")
+    assert(spanZ * 1.5 < spanX, s"zorder=$spanZ vs x-only=$spanX")
+  }
+
   test("bundle pack/unpack: consistent single-file export, orphans excluded, CRC-checked") {
     import spark.implicits._
     import graft.encode.{Bundle, Snapshots}
