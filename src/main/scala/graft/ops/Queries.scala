@@ -1180,6 +1180,39 @@ object Queries {
       |  CAST(list_max(list_transform(string_split(text, chr(10)), l -> length(l))) AS BIGINT) AS max_line_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Decode-free aggregate pushdown over the encoded store: count from
+    * chunk metadata, min/max from exact zone bounds — zero payload
+    * bytes for the bounded columns (doc_id, n_chars, lang); `text`
+    * values exceed ZONE_KEY_MAX so its chunks are unbounded and
+    * exercise the single-column decode FALLBACK inside the same oracled
+    * answer. DuckDB recomputes everything from the raw table.
+    */
+  def storeAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = docStore(s, dir)
+    val schema = t(s, dir, "documents").schema
+    val n = graft.encode.MetaAgg.count(s, store)
+    def mm(c: String) = graft.encode.MetaAgg.minMax(s, store, schema, c)
+    val (minId, maxId) = mm("doc_id")
+    val (minC, maxC) = mm("n_chars")
+    val (minL, maxL) = mm("lang")
+    val (minT, maxT) = mm("text")
+    Seq((n, minId.get.asInstanceOf[Long], maxId.get.asInstanceOf[Long],
+      minC.get.asInstanceOf[Long], maxC.get.asInstanceOf[Long],
+      minL.get.asInstanceOf[String], maxL.get.asInstanceOf[String],
+      minT.get.asInstanceOf[String], maxT.get.asInstanceOf[String]))
+      .toDF("n_rows", "min_doc_id", "max_doc_id", "min_n_chars", "max_n_chars",
+        "min_lang", "max_lang", "min_text", "max_text")
+  }
+
+  val storeAggPushdownSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+      |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+      |  min(lang) AS min_lang, max(lang) AS max_lang,
+      |  min(text) AS min_text, max(text) AS max_text
+      |FROM documents""".stripMargin
+
   // =================================================== north-rule encode
 
   /** THE roundtrip proof, oracle-checked per row: encode the documents
@@ -1811,6 +1844,7 @@ object Queries {
     "roundtrip_typed" -> (roundtripTyped _),
     "roundtrip_nested" -> (roundtripNested _),
     "store_point_lookup" -> (storePointLookup _),
+    "store_agg_pushdown" -> (storeAggPushdown _),
     "index_range_lookup" -> (indexRangeLookup _),
     "index_sorted_topk" -> (indexSortedTopK _),
     "index_sorted_slice" -> (indexSortedSlice _),
@@ -1873,6 +1907,7 @@ object Queries {
     "roundtrip_typed" -> roundtripTypedSql,
     "roundtrip_nested" -> roundtripNestedSql,
     "store_point_lookup" -> storePointLookupSql,
+    "store_agg_pushdown" -> storeAggPushdownSql,
     "index_range_lookup" -> indexRangeLookupSql,
     "index_sorted_topk" -> indexSortedTopKSql,
     "index_sorted_slice" -> indexSortedSliceSql,

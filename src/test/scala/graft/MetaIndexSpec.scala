@@ -153,5 +153,53 @@ class MetaIndexSpec extends SparkTestBase {
     val found = MetaIndex.lookup(spark, dir, d2.schema, "lang", target, target).count()
     assert(found == 3, s"stale cache hid upserted rows: found $found of 3")
   }
+
+  test("MetaAgg: count/min/max from zone metadata; unbounded chunks fall back to one-column decode") {
+    import graft.encode.{MetaAgg, StoreLayout}
+
+    assert(MetaAgg.count(spark, storeDir) == 2000L)
+
+    // short strings + longs: exact zone bounds, served metadata-only
+    val expR = df.agg(min("repo"), max("repo")).head()
+    val (mnR, mxR) = MetaAgg.minMax(spark, storeDir, df.schema, "repo")
+    assert(mnR.contains(expR.getString(0)) && mxR.contains(expR.getString(1)))
+    val expI = df.agg(min("row_id"), max("row_id")).head()
+    val (mnI, mxI) = MetaAgg.minMax(spark, storeDir, df.schema, "row_id")
+    assert(mnI.contains(expI.getLong(0)) && mxI.contains(expI.getLong(1)))
+
+    // content values exceed ZONE_KEY_MAX → zones dropped ("" bounds) →
+    // the one-column decode fallback must recover the exact extremes
+    val expC = df.agg(min("content"), max("content")).head()
+    val (mnC, mxC) = MetaAgg.minMax(spark, storeDir, df.schema, "content")
+    assert(mnC.contains(expC.getString(0)) && mxC.contains(expC.getString(1)))
+
+    // doubles with ONE NaN-poisoned chunk: that chunk's zone is
+    // unbounded, and the true min hides inside it — the fallback must
+    // find it while NaN itself is excluded like NULL (documented)
+    import spark.implicits._
+    val dd = (0 until 300).map { i =>
+      val v = if (i == 250) Double.NaN else if (i == 260) -1e9 else math.sin(i.toDouble) * 100
+      (i.toLong, v)
+    }.toDF("id", "v").coalesce(1)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-metaagg").toString
+    StoreLayout.write(TableCodec.encode(dd, chunkRows = 100), dd.schema.fieldNames.toSeq, dir2)
+    val (mnV, mxV) = MetaAgg.minMax(spark, dir2, dd.schema, "v")
+    assert(mnV.contains(-1e9), s"fallback missed the NaN-chunk min: $mnV")
+    val expMx = dd.filter(!isnan(col("v"))).agg(max("v")).head().getDouble(0)
+    assert(mxV.contains(expMx), s"got $mxV want $expMx")
+
+    // the zone pass itself never maps payload pages: the scan schema of
+    // the metadata aggregation carries zone leaves only
+    val meta = MetaIndex.zoneMetaFor(spark, storeDir, "row_id")
+    val scan = meta.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in MetaAgg metadata plan"))
+    val structs = scan.requiredSchema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    }
+    assert(structs.nonEmpty && structs.forall(_ == Set("name", "dt", "minKey", "maxKey")),
+      s"MetaAgg metadata pass must not touch payload/sha: ${structs.toSeq}")
+  }
 }
 
