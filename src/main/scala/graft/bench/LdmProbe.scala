@@ -45,7 +45,7 @@ object LdmProbe {
       (out.length, (System.nanoTime() - t0) / 1e9)
     }
     run(3, ldm = false) // warmup
-    println(s"body=${raw.length / 1e6}%MB dupFrac=$dupFrac")
+    println(f"body=${raw.length / 1e6}%.1f MB dupFrac=$dupFrac")
     for (lvl <- Seq(3, 5); l <- Seq(false, true)) {
       val (n, s) = run(lvl, l)
       println(f"  level=$lvl ldm=$l%-5s bytes=$n ratio=${raw.length.toDouble / n}%.3f ${raw.length / 1e6 / s}%.0f MB/s")

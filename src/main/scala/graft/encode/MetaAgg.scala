@@ -102,8 +102,12 @@ object MetaAgg {
     def toDomain(v: Any): Any = v match {
       case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
       case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+      case l: java.time.LocalDateTime => // TimestampNTZ → micros
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
       case d: java.sql.Date => d.toLocalDate.toEpochDay
       case d: java.time.LocalDate => d.toEpochDay
+      case d: java.math.BigDecimal => d.unscaledValue().longValueExact() // narrow decimal → unscaled
+      case d: scala.math.BigDecimal => d.underlying().unscaledValue().longValueExact()
       case b: Boolean => if (b) 1L else 0L
       case b: Byte => b.toLong
       case s: Short => s.toLong
@@ -117,7 +121,13 @@ object MetaAgg {
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long) => x < y
       case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
+      case (x: String, y: String) =>
+        // UTF-8 BINARY order — the zone-key / Spark / DuckDB collation.
+        // String.compareTo is UTF-16 code-unit order, which disagrees
+        // for supplementary-plane characters (U+FFFD vs an emoji).
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       case _ => throw new IllegalStateException(s"incomparable zone values $a / $b")
     }
     val mn = (boundedMin.toSeq ++ decodedMin.toSeq).reduceOption((a, b) => if (lt(a, b)) a else b)

@@ -195,7 +195,13 @@ object StoreLayout {
       s"zorder takes 2-4 columns, got ${colNames.size} (one column → recluster)")
     val df = Snapshots.storeDf(spark, storeDir)
     requireNoBatch(df.schema, "reclusterZOrder")
-    val bits = colNames.size match { case 2 => 16; case 3 => 10; case _ => 8 }
+    // bins beyond the chunk count are empty weight in the quantile
+    // sketch (65k cut points for a 200-chunk store is waste); rank
+    // resolution only needs ~one bin per chunk
+    val nChunks = df.count()
+    val maxBits = colNames.size match { case 2 => 16; case 3 => 10; case _ => 8 }
+    var bits = 1
+    while (bits < maxBits && (1L << bits) < nChunks) bits += 1
     val nBins = 1 << bits
 
     def keyCol(c: String): org.apache.spark.sql.Column = {

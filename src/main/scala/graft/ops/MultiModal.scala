@@ -242,13 +242,19 @@ object MultiModal {
     spark.range(0, n, 1, parts).map { id =>
       val h = mix(42L ^ id)
       val kind = (h & 3).toInt
-      val len = 256 + ((h >>> 8) & 0x3ff).toInt
-      val b = new Array[Byte](len)
-      var x = h
-      var i = 0
-      while (i < len) { x = mix(x); b(i) = (x & 0xff).toByte; i += 1 }
+      // noise body only for the kinds that ship one (jpeg/mp3 blobs)
+      def noise(): Array[Byte] = {
+        val len = 256 + ((h >>> 8) & 0x3ff).toInt
+        val b = new Array[Byte](len)
+        var x = h
+        var i = 0
+        while (i < len) { x = mix(x); b(i) = (x & 0xff).toByte; i += 1 }
+        b
+      }
       kind match {
-        case 0 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte; (id, b)
+        case 0 =>
+          val b = noise()
+          b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte; (id, b)
         case 1 =>
           // a REAL parseable PNG (ImageIO-encoded noisy raster), so
           // featurize's image path decodes; noise keeps entropy high
@@ -274,7 +280,9 @@ object MultiModal {
           var j = 0
           while (j < ns) { y = mix(y); ss(j) = (y & 0xffffL).toShort; j += 1 }
           (id, WavPcm.encode16(ss, 16000))
-        case _ => b(0) = 'I'; b(1) = 'D'; b(2) = '3'; (id, b)
+        case _ =>
+          val b = noise()
+          b(0) = 'I'; b(1) = 'D'; b(2) = '3'; (id, b)
       }
     }.toDF("media_id", "media")
   }

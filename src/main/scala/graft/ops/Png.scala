@@ -145,7 +145,10 @@ object Png {
       var off = 0
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // 0 progress without finishing = truncated stream OR a preset-
+        // dictionary (FDICT) header we don't support — bail either way
+        // (looping on needsDictionary() would hang the executor)
+        if (n == 0) return null
         off += n
       }
       if (off == expected) out else null

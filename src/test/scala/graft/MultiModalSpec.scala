@@ -163,6 +163,24 @@ class MultiModalSpec extends SparkTestBase {
     val forged = good.clone()
     forged(16) = 0x7f // width high byte → w*h over MAX_PIXELS
     assert(Png.decode(forged).isEmpty)
+
+    // zlib FDICT (preset-dictionary) stream with VALID chunk CRCs: the
+    // inflater makes zero progress without a dictionary — must fail
+    // soft, not spin (regression: Inflater.needsDictionary loop hang)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(4).put(8.toByte).put(0.toByte) // 4x4 gray-8
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8) // FDICT bit set
+    val hostile = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", fdict) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Png.decode(hostile).isEmpty, "FDICT stream must fail soft, not hang")
   }
 
   test("featurize wires the REAL png decode: dimensions + grid-luma embedding") {
