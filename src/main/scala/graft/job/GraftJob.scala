@@ -121,6 +121,25 @@ object GraftJob {
       println(s"""{"job":"slice","start":$start,"count":$cnt,"rows":$n}""")
       spark.stop()
 
+    // agg <dir> <col> — decode-free count/min/max (zone metadata only;
+    // unbounded chunks fall back to a one-column decode)
+    case "agg" :: dir :: colName :: Nil =>
+      val spark = session("graft-agg")
+      val t0 = System.nanoTime()
+      val n = graft.encode.MetaAgg.count(spark, dir)
+      val (mn, mx) = graft.encode.MetaAgg.minMax(spark, dir, codeSchema, colName)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // JSON-safe display form: escape control/quote chars, cap length
+      def esc(v: Option[Any]): String = v.map(_.toString).getOrElse("")
+        .take(64).flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+      println(f"""{"job":"agg","col":"$colName","rows":$n,"min":"${esc(mn)}","max":"${esc(mx)}","sec":$sec%.2f}""")
+      spark.stop()
+
     case "delete" :: dir :: colName :: value :: Nil =>
       val spark = session("graft-delete")
       val t0 = System.nanoTime()
