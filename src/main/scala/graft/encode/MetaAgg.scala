@@ -1,6 +1,6 @@
 package graft.encode
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,6 +32,133 @@ object MetaAgg {
     val df = Snapshots.storeDf(spark, storeDir)
     val n = df.agg(sum(col("nRows"))).head()
     if (n.isNullAt(0)) 0L else n.getLong(0)
+  }
+
+  /** Exact COUNT(col) — non-null count — from chunk metadata alone
+    * (per-chunk `nNulls` is recorded for every builder type, so this
+    * never decodes and never falls back).
+    */
+  def countNonNull(spark: SparkSession, storeDir: String, colName: String): Long = {
+    val meta = MetaIndex.summaryMetaFor(spark, storeDir, colName)
+    val n = meta.agg(sum(col("nRows").cast("bigint") - col("nNulls"))).head()
+    if (n.isNullAt(0)) 0L else n.getLong(0)
+  }
+
+  /** Exact SUM(col) for an integral-domain column, served from the
+    * per-chunk `sumKey` accumulators: zero payload bytes unless a chunk
+    * recorded an undefined sum (its running Long overflowed), in which
+    * case ONLY those chunks' one column is decoded and folded in.
+    * Narrow decimals sum in their unscaled domain (the zone domain —
+    * rescale with the column's scale). None = no non-null values.
+    * Float/double are rejected: a float sum is order-dependent, so no
+    * stored partial could be served as THE exact answer — decode
+    * instead. Throws if the exact total exceeds Long range.
+    */
+  def sumLong(spark: SparkSession, storeDir: String, schema: StructType,
+              colName: String): Option[Long] = {
+    val dt = MetaIndex.flatOf(schema)(colName).dataType
+    val scale = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType => 0
+      case d: DecimalType if d.precision <= 18 => d.scale
+      case other => throw new IllegalArgumentException(
+        s"sumLong: $colName is $other — exact sum pushdown is integral-domain only")
+    }
+    val meta = MetaIndex.summaryMetaFor(spark, storeDir, colName)
+    val fallbackE = col("sumKey") === "" && col("nNulls") < col("nRows")
+    val agg = meta.agg(
+      sum(when(col("sumKey") =!= "", col("sumKey").cast(DecimalType(38, 0)))).as("s"),
+      sum(col("nRows").cast("bigint") - col("nNulls")).as("nn"),
+      sum(when(fallbackE, 1L).otherwise(0L)).as("nfb")).head()
+    val nonNull = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    if (nonNull == 0L) return None
+    var total: BigInt =
+      if (agg.isNullAt(0)) BigInt(0)
+      else BigInt(agg.getDecimal(0).toBigIntegerExact) // sum of decimal(38,0) — no fraction
+    if (agg.getLong(2) > 0L) {
+      val decoded = decodeOneColumn(spark, storeDir, schema, colName, meta.filter(fallbackE))
+      val v = dt match {
+        case BooleanType => when(col(colName), 1L).otherwise(0L).cast(DecimalType(38, 0))
+        case d: DecimalType => col(colName).cast(DecimalType(38, d.scale))
+        case _ => col(colName).cast(DecimalType(38, 0))
+      }
+      val r = decoded.agg(sum(v)).head()
+      // fold in the decoded partial in the UNSCALED (zone) domain —
+      // setScale(scale) pins the representation so unscaledValue is the
+      // exact integer sumKey would have recorded
+      if (!r.isNullAt(0)) total += BigInt(r.getDecimal(0).setScale(scale).unscaledValue())
+    }
+    if (!total.isValidLong) throw new ArithmeticException(
+      s"sumLong($colName) = $total exceeds Long range")
+    Some(total.toLong)
+  }
+
+  /** Decode-free group-by COUNT over a low-cardinality column: chunks
+    * with a LIVE value histogram (sum of counts == non-null rows — a
+    * dead histogram cannot masquerade) are served from metadata;
+    * dead-histogram chunks decode ONLY this column and group exactly.
+    * Returns (value: string, cnt: long) with one null-value row for the
+    * SQL null group; string values are identity, integral-domain values
+    * are their decimal string (booleans "0"/"1").
+    *
+    * At 100 TB a `GROUP BY lang` reads O(chunks) histogram entries and
+    * zero payload pages — the reference's SUMMARY-accumulator idea
+    * (python-blosc2 indexing.py:44-57) applied to aggregation.
+    */
+  def groupCount(spark: SparkSession, storeDir: String, schema: StructType,
+                 colName: String): DataFrame = {
+    val dt = MetaIndex.flatOf(schema)(colName).dataType
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"groupCount: $colName is $other — histogram group-by covers string/integral/boolean")
+    }
+    val meta = MetaIndex.summaryMetaFor(spark, storeDir, colName)
+    val aliveE = expr("aggregate(map_values(hist), CAST(0 AS BIGINT), (a, x) -> a + x)") ===
+      (col("nRows").cast("bigint") - col("nNulls"))
+    val alivePart = meta.filter(aliveE)
+      .select(explode(col("hist")).as(Seq("value", "cnt")))
+    val totals = meta.agg(
+      sum(col("nNulls").cast("bigint")).as("nulls"),
+      sum(when(aliveE, 0L).otherwise(1L)).as("ndead")).head()
+    val nullsTotal = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val nDead = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+    val parts = Seq.newBuilder[DataFrame]
+    parts += alivePart
+    if (nDead > 0L) {
+      val decoded = decodeOneColumn(spark, storeDir, schema, colName, meta.filter(!aliveE))
+      val domain = dt match {
+        case BooleanType => when(col(colName), "1").otherwise("0")
+        case StringType => col(colName)
+        case _ => col(colName).cast("string")
+      }
+      parts += decoded.filter(col(colName).isNotNull)
+        .select(domain.as("value"), lit(1L).as("cnt"))
+    }
+    if (nullsTotal > 0L) {
+      import spark.implicits._
+      parts += Seq((null: String, nullsTotal)).toDF("value", "cnt")
+    }
+    parts.result().reduce(_ union _)
+      .groupBy("value").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Decode ONLY the chunks named by `keys` (shard, partId, chunkId
+    * rows), reading just `colName`'s column — pushed chunk keys when
+    * few, semi-join when many (the MetaIndex.readCandidates pattern).
+    */
+  private def decodeOneColumn(spark: SparkSession, storeDir: String, schema: StructType,
+                              colName: String, keysDf: DataFrame): DataFrame = {
+    val keyRows = keysDf.select("shard", "partId", "chunkId")
+    val keys = keyRows.limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val blocks =
+      if (keys.length <= MetaIndex.MAX_PUSHDOWN_KEYS)
+        StoreLayout.readBlocksByKeys(spark, storeDir, keys.toSeq, Seq(colName))
+      else StoreLayout.assemble(
+        Snapshots.storeDf(spark, storeDir)
+          .join(keyRows, Seq("shard", "partId", "chunkId"), "left_semi"),
+        Seq(StoreLayout.fieldName(colName)))
+    TableCodec.decode(blocks, StructType(Seq(MetaIndex.flatOf(schema)(colName))))
   }
 
   /** (min, max) of `colName` over the store, None for an empty/all-null

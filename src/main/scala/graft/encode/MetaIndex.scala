@@ -62,6 +62,20 @@ object MetaIndex {
         col(s"$f.minKey").as("minKey"), col(s"$f.maxKey").as("maxKey"))
   }
 
+  /** zoneMetaFor plus the per-chunk summary leaves (null count, exact
+    * sum, bounded value histogram) — MetaAgg's scan. Still metadata
+    * only: payload/sha never enter the ReadSchema.
+    */
+  def summaryMetaFor(spark: SparkSession, storeDir: String, colName: String): DataFrame = {
+    val f = StoreLayout.fieldName(colName)
+    Snapshots.storeDf(spark, storeDir)
+      .select(col("shard"), col("partId"), col("chunkId"), col("nRows"),
+        col(s"$f.name").as("name"), col(s"$f.dt").as("dt"),
+        col(s"$f.minKey").as("minKey"), col(s"$f.maxKey").as("maxKey"),
+        col(s"$f.nNulls").as("nNulls"), col(s"$f.sumKey").as("sumKey"),
+        col(s"$f.hist").as("hist"))
+  }
+
   /** Column types whose zone keys compare numerically. */
   private val numericDts = Seq(
     "bigint", "int", "smallint", "tinyint", "boolean",

@@ -20,6 +20,19 @@ final case class CodeFile(
   * - `nBytes`  logical (uncompressed) size of the column slice
   * - `cBytes`  encoded payload size
   * - `minKey`/`maxKey` zone-map bounds (string form, truncated)
+  * - `nNulls`  null count of the slice — COUNT(col) and the null group
+  *             of a group-by are then pure metadata
+  * - `sumKey`  exact sum of the non-null values in the zone domain
+  *             ("" = undefined: float/double/binary columns, integral
+  *             chunks whose running sum overflowed Long, or no non-null
+  *             values) — serves exact SUM/AVG pushdown (MetaAgg)
+  * - `hist`    value → count of the non-null values when the slice has
+  *             ≤ HIST_MAX distinct in-zone-key-size values ("" keys are
+  *             impossible: only non-null values enter); empty when the
+  *             cardinality cap or key-size cap was exceeded. Alive iff
+  *             sum(counts) == nRows − nNulls — a dead histogram can
+  *             never masquerade as a valid one. Serves decode-free
+  *             group-by counts on low-cardinality columns.
   * - `sha`     sha256 over the logical values of the slice — decode
   *             verification recomputes and compares (the bit-identity
   *             invariant, cf. reference tests/test_compress2.py:58-76)
@@ -32,6 +45,9 @@ final case class EncodedCol(
     cBytes: Long,
     minKey: String,
     maxKey: String,
+    nNulls: Int,
+    sumKey: String,
+    hist: Map[String, Long],
     sha: Array[Byte],
     payload: Array[Byte]
 )

@@ -29,7 +29,8 @@ object StoreLayout {
   val KEY_COLS: Seq[String] = Seq("shard", "partId", "chunkId", "nRows")
 
   private val COL_STRUCT_FIELDS =
-    Set("name", "dt", "plan", "nBytes", "cBytes", "minKey", "maxKey", "sha", "payload")
+    Set("name", "dt", "plan", "nBytes", "cBytes", "minKey", "maxKey",
+      "nNulls", "sumKey", "hist", "sha", "payload")
 
   /** Parquet field carrying column `name`'s chunks. The `g_` prefix
     * keeps user columns from colliding with the chunk-key columns.

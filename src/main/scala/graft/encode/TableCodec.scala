@@ -47,6 +47,15 @@ object TableCodec {
     */
   val ZONE_KEY_MAX = 64
 
+  /** Per-chunk value-histogram cardinality cap (EncodedCol.hist). Low
+    * enough that metadata stays tiny (≤ 64 entries × ~a dozen bytes per
+    * chunk-column) and the builder's tracking map dies within the first
+    * ~100 values on any high-cardinality column; high enough to cover
+    * the enum-like columns (lang, source, status codes) a decode-free
+    * group-by actually targets.
+    */
+  val HIST_MAX = 64
+
   private implicit val blockEnc: org.apache.spark.sql.Encoder[EncodedBlock] = Encoders.product[EncodedBlock]
   private implicit val verifyEnc: org.apache.spark.sql.Encoder[ChunkVerify] = Encoders.product[ChunkVerify]
 
@@ -163,6 +172,9 @@ object TableCodec {
             cBytes = payload.length.toLong,
             minKey = builders(i).minKey,
             maxKey = builders(i).maxKey,
+            nNulls = builders(i).nNulls,
+            sumKey = builders(i).sumKey,
+            hist = builders(i).hist,
             sha = builders(i).digest(), // streamed in add(); == digestOf(vec)
             payload = payload
           )
@@ -406,6 +418,19 @@ sealed trait ColBuilder {
   def minKey: String
   def maxKey: String
 
+  /** Null count of the slice (exact, every builder). */
+  def nNulls: Int
+
+  /** Exact sum of the non-null values in the zone domain, "" when
+    * undefined (see EncodedCol.sumKey). Only the long-backed builders
+    * produce one — a float sum is order-dependent, so a stored double
+    * sum could not be served as THE exact answer.
+    */
+  def sumKey: String
+
+  /** Bounded value histogram (see EncodedCol.hist), empty when dead. */
+  def hist: Map[String, Long]
+
   /** sha256 of the values added since the last clear — STREAMED inside
     * [[add]] while the bytes are still cache-hot, byte-for-byte
     * identical to `ColBuilder.digestOf(result())` (which re-walks the
@@ -511,6 +536,11 @@ object ColBuilder {
     private var validity: Array[Boolean] = null
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
+    private var nulls = 0
+    private var sum = 0L
+    private var sumDead = false // running sum overflowed Long
+    private val histM = new scala.collection.mutable.LongMap[Long](TableCodec.HIST_MAX * 2)
+    private var histDead = false // > HIST_MAX distinct values seen
     private val md = MessageDigest.getInstance("SHA-256")
     private val buf8 = new Array[Byte](8)
 
@@ -527,6 +557,7 @@ object ColBuilder {
         if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
         validity(n) = false
         values(n) = 0L
+        nulls += 1
         md.update(0: Byte)
       } else {
         val v = kind match {
@@ -541,6 +572,17 @@ object ColBuilder {
         if (validity != null) validity(n) = true
         if (v < mn) mn = v
         if (v > mx) mx = v
+        if (!sumDead) {
+          // branch-free signed-overflow detect (Hacker's Delight §2-13):
+          // overflow iff operands share a sign the result lost
+          val s = sum + v
+          if (((sum ^ s) & (v ^ s)) < 0L) sumDead = true else sum = s
+        }
+        if (!histDead) {
+          val c = histM.getOrElse(v, 0L)
+          if (c == 0L && histM.size >= TableCodec.HIST_MAX) histDead = true
+          else histM(v) = c + 1L
+        }
         values(n) = v
         md.update(1: Byte); putLong(buf8, v); md.update(buf8)
       }
@@ -551,10 +593,19 @@ object ColBuilder {
       LongVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
     def digest(): Array[Byte] = md.digest()
-    def clear(): Unit = { n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue; md.reset() }
+    def clear(): Unit = {
+      n = 0; validity = null; mn = Long.MaxValue; mx = Long.MinValue
+      nulls = 0; sum = 0L; sumDead = false; histM.clear(); histDead = false
+      md.reset()
+    }
     def rawBytes: Long = n.toLong * width
     def minKey: String = if (mn == Long.MaxValue) "" else mn.toString
     def maxKey: String = if (mx == Long.MinValue) "" else mx.toString
+    def nNulls: Int = nulls
+    def sumKey: String = if (sumDead || n == nulls) "" else sum.toString
+    def hist: Map[String, Long] =
+      if (histDead) Map.empty
+      else histM.iterator.map { case (k, c) => (k.toString, c) }.toMap
   }
 
   /** float32 widens losslessly to float64 (IEEE 754 widening is exact,
@@ -577,6 +628,7 @@ object ColBuilder {
     private var validity: Array[Boolean] = null
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
+    private var nulls = 0
     // NaN never enters mn/mx (v < mn and v > mx are both false), yet
     // Spark SQL orders NaN ABOVE every double — a bounded zone could
     // wrongly prune a chunk whose only matches are NaN when probing a
@@ -598,6 +650,7 @@ object ColBuilder {
         if (validity == null) { validity = new Array[Boolean](values.length); java.util.Arrays.fill(validity, 0, n, true) }
         validity(n) = false
         values(n) = 0.0
+        nulls += 1
         md.update(0: Byte)
       } else {
         val raw = if (isFloat) row.getFloat(idx).toDouble else row.getDouble(idx)
@@ -621,10 +674,15 @@ object ColBuilder {
       DoubleVec(java.util.Arrays.copyOf(values, n),
         if (validity == null) null else java.util.Arrays.copyOf(validity, n))
     def digest(): Array[Byte] = md.digest()
-    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawNaN = false; md.reset() }
+    def clear(): Unit = { n = 0; validity = null; mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawNaN = false; nulls = 0; md.reset() }
     def rawBytes: Long = n.toLong * (if (isFloat) 4L else 8L)
     def minKey: String = if (sawNaN || mn.isPosInfinity) "" else mn.toString
     def maxKey: String = if (sawNaN || mx.isNegInfinity) "" else mx.toString
+    def nNulls: Int = nulls
+    // a float sum is order-dependent — no stored sum could be served as
+    // THE exact SUM(col); callers decode (MetaAgg rejects double sums)
+    def sumKey: String = ""
+    def hist: Map[String, Long] = Map.empty
   }
 
   private final class BinBuilder(kind: Int, elemType: DataType = null,
@@ -640,6 +698,11 @@ object ColBuilder {
     // order-preserving, so pruning on it would be unsound)
     private val zoneCapable = kind == BKind.STRING
     private var zoneDead = !zoneCapable // or some value exceeded ZONE_KEY_MAX
+    private var nulls = 0
+    // value histogram: STRING columns only (hist keys are UTF-8 text,
+    // same rule as the zone keys), values must fit ZONE_KEY_MAX
+    private val histM = new scala.collection.mutable.HashMap[String, Long]()
+    private var histDead = !zoneCapable
     private val md = MessageDigest.getInstance("SHA-256")
     private val buf8 = new Array[Byte](8)
 
@@ -656,6 +719,7 @@ object ColBuilder {
       ensure()
       if (row.isNullAt(idx)) {
         hasNull = true
+        nulls += 1
         values(n) = null
         n += 1
         md.update(0: Byte)
@@ -675,10 +739,18 @@ object ColBuilder {
         values(n) = v
         n += 1
         bytes += v.length
-        if (v.length > TableCodec.ZONE_KEY_MAX) zoneDead = true
-        else if (!zoneDead) {
-          if (mn == null || cmp(v, mn) < 0) mn = v
-          if (mx == null || cmp(v, mx) > 0) mx = v
+        if (v.length > TableCodec.ZONE_KEY_MAX) { zoneDead = true; histDead = true }
+        else {
+          if (!zoneDead) {
+            if (mn == null || cmp(v, mn) < 0) mn = v
+            if (mx == null || cmp(v, mx) > 0) mx = v
+          }
+          if (!histDead) {
+            val k = new String(v, UTF_8)
+            val c = histM.getOrElse(k, 0L)
+            if (c == 0L && histM.size >= TableCodec.HIST_MAX) histDead = true
+            else histM(k) = c + 1L
+          }
         }
         md.update(1: Byte)
         putLong(buf8, v.length.toLong)
@@ -699,10 +771,17 @@ object ColBuilder {
         if (kind == BKind.ARRAY && elemType != StringType) ArrayPack.widthOf(elemType) else 0)
     }
     def digest(): Array[Byte] = md.digest()
-    def clear(): Unit = { n = 0; hasNull = false; bytes = 0L; mn = null; mx = null; zoneDead = !zoneCapable; md.reset() }
+    def clear(): Unit = {
+      n = 0; hasNull = false; bytes = 0L; mn = null; mx = null
+      zoneDead = !zoneCapable; nulls = 0; histM.clear(); histDead = !zoneCapable
+      md.reset()
+    }
     def rawBytes: Long = bytes
     def minKey: String = if (zoneDead || mn == null) "" else new String(mn, UTF_8)
     def maxKey: String = if (zoneDead || mx == null) "" else new String(mx, UTF_8)
+    def nNulls: Int = nulls
+    def sumKey: String = "" // sums are numeric-domain only
+    def hist: Map[String, Long] = if (histDead) Map.empty else histM.toMap
   }
 }
 

@@ -140,6 +140,28 @@ object GraftJob {
       println(f"""{"job":"agg","col":"$colName","rows":$n,"min":"${esc(mn)}","max":"${esc(mx)}","sec":$sec%.2f}""")
       spark.stop()
 
+    // groupcount <dir> <col> — decode-free GROUP BY col COUNT(*) from
+    // the per-chunk value histograms (histogram-dead chunks fall back
+    // to a one-column decode); prints top groups by count
+    case "groupcount" :: dir :: colName :: Nil =>
+      val spark = session("graft-groupcount")
+      val t0 = System.nanoTime()
+      val rows = graft.encode.MetaAgg.groupCount(spark, dir, codeSchema, colName)
+        .orderBy(col("cnt").desc, col("value")).limit(20).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val groups = rows.map { r =>
+        val v = if (r.isNullAt(0)) "null" else "\"" + r.getString(0).take(64)
+          .flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+        s"""{"value":$v,"cnt":${r.getLong(1)}}"""
+      }.mkString(",")
+      println(f"""{"job":"groupcount","col":"$colName","groups":[$groups],"sec":$sec%.2f}""")
+      spark.stop()
+
     case "delete" :: dir :: colName :: value :: Nil =>
       val spark = session("graft-delete")
       val t0 = System.nanoTime()

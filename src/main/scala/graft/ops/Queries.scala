@@ -1213,6 +1213,58 @@ object Queries {
       |  min(text) AS min_text, max(text) AS max_text
       |FROM documents""".stripMargin
 
+  /** Decode-free SUM/COUNT(col) pushdown: exact sums from the per-chunk
+    * `sumKey` accumulators, non-null counts from per-chunk `nNulls` —
+    * zero payload bytes (no chunk in this corpus overflows the running
+    * Long, so the decode fallback stays idle here; MetaIndexSpec forces
+    * it with Long.MaxValue-scale values). DuckDB recomputes from raw.
+    */
+  def storeSumPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = docStore(s, dir)
+    val schema = t(s, dir, "documents").schema
+    Seq((
+      graft.encode.MetaAgg.sumLong(s, store, schema, "n_chars").get,
+      graft.encode.MetaAgg.sumLong(s, store, schema, "doc_id").get,
+      graft.encode.MetaAgg.countNonNull(s, store, "text"),
+      graft.encode.MetaAgg.count(s, store)))
+      .toDF("sum_n_chars", "sum_doc_id", "nn_text", "n_rows")
+  }
+
+  val storeSumPushdownSql: String =
+    """SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(count(text) AS BIGINT) AS nn_text,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM documents""".stripMargin
+
+  /** Decode-free GROUP BY ... COUNT(*) from the per-chunk value
+    * histograms: `lang` (5 values) and `source` (20) are served purely
+    * from metadata; `n_chars` exceeds HIST_MAX distinct per chunk, so
+    * its chunks are histogram-DEAD and exercise the one-column decode
+    * fallback inside the same oracled answer. DuckDB recomputes all
+    * three group-bys from the raw table.
+    */
+  def storeGroupCount(s: SparkSession, dir: String): DataFrame = {
+    val store = docStore(s, dir)
+    val schema = t(s, dir, "documents").schema
+    def gc(c: String) = graft.encode.MetaAgg.groupCount(s, store, schema, c)
+      .select(lit(c).as("col_name"), col("value"), col("cnt"))
+    gc("lang").union(gc("source")).union(gc("n_chars"))
+      .orderBy("col_name", "value")
+  }
+
+  val storeGroupCountSql: String =
+    """SELECT * FROM (
+      |  SELECT 'lang' AS col_name, lang AS value, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'source', source, CAST(count(*) AS BIGINT) FROM documents GROUP BY source
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(n_chars AS VARCHAR), CAST(count(*) AS BIGINT)
+      |  FROM documents GROUP BY n_chars
+      |) ORDER BY col_name, value""".stripMargin
+
   // =================================================== north-rule encode
 
   /** THE roundtrip proof, oracle-checked per row: encode the documents
@@ -1845,6 +1897,8 @@ object Queries {
     "roundtrip_nested" -> (roundtripNested _),
     "store_point_lookup" -> (storePointLookup _),
     "store_agg_pushdown" -> (storeAggPushdown _),
+    "store_sum_pushdown" -> (storeSumPushdown _),
+    "store_group_count" -> (storeGroupCount _),
     "index_range_lookup" -> (indexRangeLookup _),
     "index_sorted_topk" -> (indexSortedTopK _),
     "index_sorted_slice" -> (indexSortedSlice _),
@@ -1908,6 +1962,8 @@ object Queries {
     "roundtrip_nested" -> roundtripNestedSql,
     "store_point_lookup" -> storePointLookupSql,
     "store_agg_pushdown" -> storeAggPushdownSql,
+    "store_sum_pushdown" -> storeSumPushdownSql,
+    "store_group_count" -> storeGroupCountSql,
     "index_range_lookup" -> indexRangeLookupSql,
     "index_sorted_topk" -> indexSortedTopKSql,
     "index_sorted_slice" -> indexSortedSliceSql,

@@ -201,5 +201,84 @@ class MetaIndexSpec extends SparkTestBase {
     assert(structs.nonEmpty && structs.forall(_ == Set("name", "dt", "minKey", "maxKey")),
       s"MetaAgg metadata pass must not touch payload/sha: ${structs.toSeq}")
   }
+
+  test("MetaAgg: exact sum / non-null count / histogram group-by, with decode fallbacks") {
+    import graft.encode.{MetaAgg, StoreLayout}
+    import org.apache.spark.sql.types.DecimalType
+
+    // corpus store: no nulls, no overflow → sums/counts are pure metadata
+    val expSum = df.agg(sum("row_id")).head().getLong(0)
+    assert(MetaAgg.sumLong(spark, storeDir, df.schema, "row_id").contains(expSum))
+    assert(MetaAgg.countNonNull(spark, storeDir, "repo") == 2000L)
+
+    // group-by on a low-cardinality column: histograms alive in every
+    // chunk → equals the decoded group-by exactly
+    val gotLang = MetaAgg.groupCount(spark, storeDir, df.schema, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expLang = df.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotLang == expLang)
+
+    // the summary pass maps summary leaves only — payload/sha never
+    val meta = MetaIndex.summaryMetaFor(spark, storeDir, "lang")
+    val scan = meta.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in summary plan"))
+    val structs = scan.requiredSchema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    }
+    assert(structs.nonEmpty &&
+      structs.forall(_ == Set("name", "dt", "minKey", "maxKey", "nNulls", "sumKey", "hist")),
+      s"summary pass must not touch payload/sha: ${structs.toSeq}")
+
+    // nulls + a chunk whose RUNNING sum overflows Long (sumKey dead →
+    // one-column decode fallback) + >HIST_MAX distinct values per chunk
+    // (histogram dead → group-by fallback), all in one store. The
+    // overflow chunk's values cancel, so the exact TOTAL stays in range.
+    val big = 1L << 62
+    val vals = (0 until 300).map { i =>
+      val v: java.lang.Long =
+        if (i % 7 == 0) null
+        else if (i == 100 || i == 101) java.lang.Long.valueOf(big) // running sum overflows here
+        else if (i == 102 || i == 103) java.lang.Long.valueOf(-big)
+        else java.lang.Long.valueOf(i.toLong)
+      (i.toLong, v)
+    }
+    val dd = vals.toDF("id", "v").coalesce(1)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-metaagg-sum").toString
+    StoreLayout.write(TableCodec.encode(dd, chunkRows = 100), dd.schema.fieldNames.toSeq, dir2)
+
+    // the middle chunk really is sum-dead (else this test proves nothing)
+    val deadChunks = MetaIndex.summaryMetaFor(spark, dir2, "v")
+      .filter(col("sumKey") === "" && col("nNulls") < col("nRows")).count()
+    assert(deadChunks == 1L, s"want exactly the overflow chunk sum-dead, got $deadChunks")
+
+    val expExact = dd.agg(sum(col("v").cast(DecimalType(38, 0)))).head()
+      .getDecimal(0).toBigIntegerExact.longValueExact()
+    assert(MetaAgg.sumLong(spark, dir2, dd.schema, "v").contains(expExact))
+    val expNN = dd.filter(col("v").isNotNull).count()
+    assert(MetaAgg.countNonNull(spark, dir2, "v") == expNN)
+
+    // group-by with dead histograms + a null group: equals decode
+    val gotV = MetaAgg.groupCount(spark, dir2, dd.schema, "v").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).toMap
+    val expV = dd.groupBy(col("v").cast("string").as("value")).count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).toMap
+    assert(gotV == expV)
+
+    // all-null column → sum is SQL NULL, never 0
+    val ddNull = (0 until 50).map(i => (i.toLong, null: java.lang.Long)).toDF("id", "v").coalesce(1)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-metaagg-null").toString
+    StoreLayout.write(TableCodec.encode(ddNull, chunkRows = 20), ddNull.schema.fieldNames.toSeq, dir3)
+    assert(MetaAgg.sumLong(spark, dir3, ddNull.schema, "v").isEmpty)
+    assert(MetaAgg.countNonNull(spark, dir3, "v") == 0L)
+
+    // float sums are order-dependent — pushdown must refuse, not lie
+    val ddD = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "v").coalesce(1)
+    val dir4 = java.nio.file.Files.createTempDirectory("graft-metaagg-dbl").toString
+    StoreLayout.write(TableCodec.encode(ddD, chunkRows = 10), ddD.schema.fieldNames.toSeq, dir4)
+    intercept[IllegalArgumentException] { MetaAgg.sumLong(spark, dir4, ddD.schema, "v") }
+  }
 }
 
