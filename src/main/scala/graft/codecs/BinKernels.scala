@@ -308,6 +308,15 @@ object Fsst {
     * (few candidates per prefix) plus a direct 1-byte code array — so
     * the per-input-byte work is a couple of loads, not a scan over all
     * symbols sharing the first byte.
+    *
+    * The candidate slabs are FLAT primitive arrays and each candidate
+    * carries its bytes packed big-endian into one Long, so a match test
+    * is a single `(word ^ symWord) & lenMask == 0` against ONE unaligned
+    * 8-byte load of the input (the paper's trick) — no Array[Array[_]]
+    * pointer chase, no per-byte compare loop. Match semantics are
+    * unchanged (the longest matching symbol wins; two distinct symbols
+    * of equal length can never match the same position), so the encoded
+    * bytes are bit-identical to the scalar dispatch this replaces.
     */
   final class Table(val symbols: Array[Array[Byte]]) {
     /** packed (code<<8 | 1) for 1-byte symbols, -1 otherwise */
@@ -320,42 +329,85 @@ object Fsst {
       }
       a
     }
-    /** symbols of length >= 2 grouped by first-two-bytes, longest first */
-    private val byPrefix2: Array[Array[Int]] = {
-      val m = new mutable.HashMap[Int, List[Int]]()
+
+    // symbols of length >= 2, grouped by first-two-bytes into contiguous
+    // slabs [prefStart(k), prefStart(k+1)), longest first within a slab:
+    // candPacked = (code << 8) | len, candWord = the symbol's bytes
+    // big-endian zero-padded, candMask = the word's high `len` bytes
+    private val (prefStart, candPacked, candWord) = {
+      val starts = new Array[Int](65537)
+      val byPref = new mutable.HashMap[Int, List[Int]]()
       var c = 0
+      var total = 0
       while (c < symbols.length) {
         val s = symbols(c)
         if (s.length >= 2) {
           val k = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
-          m.update(k, c :: m.getOrElse(k, Nil))
+          byPref.update(k, c :: byPref.getOrElse(k, Nil))
+          total += 1
         }
         c += 1
       }
-      val a = new Array[Array[Int]](65536)
-      m.foreach { case (k, cs) => a(k) = cs.sortBy(c => -symbols(c).length).toArray }
-      a
+      val packed = new Array[Int](total)
+      val words = new Array[Long](total)
+      // counts → exclusive prefix sums → fill
+      byPref.foreach { case (k, cs) => starts(k + 1) = cs.size }
+      var k = 0
+      while (k < 65536) { starts(k + 1) += starts(k); k += 1 }
+      byPref.foreach { case (pk, cs) =>
+        var i = starts(pk)
+        cs.sortBy(code => -symbols(code).length).foreach { code =>
+          val s = symbols(code)
+          var w = 0L
+          var j = 0
+          while (j < s.length) { w |= (s(j) & 0xffL) << (56 - 8 * j); j += 1 }
+          packed(i) = (code << 8) | s.length
+          words(i) = w
+          i += 1
+        }
+      }
+      (starts, packed, words)
     }
+
+    /** big-endian 8-byte window of data at pos (zero-padded past the
+      * end); one unaligned load on the common path. Platform.getLong is
+      * Spark's own unsafe accessor (an intrinsified static — the same
+      * primitive UnsafeRow reads ride on).
+      */
+    @inline private def wordAt(data: Array[Byte], pos: Int, avail: Int): Long =
+      if (avail >= 8)
+        java.lang.Long.reverseBytes(org.apache.spark.unsafe.Platform.getLong(
+          data, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos))
+      else {
+        var w = 0L
+        var j = 0
+        while (j < avail) { w |= (data(pos + j) & 0xffL) << (56 - 8 * j); j += 1 }
+        w
+      }
 
     /** Longest symbol matching data at pos, packed as (code << 8) | len;
       * -1 if none. Allocation-free — this runs once per input byte.
+      * b0 and the 2-byte prefix come out of the single loaded word, so
+      * the common path is one unaligned load + two table loads.
       */
     def longestMatch(data: Array[Byte], pos: Int): Int = {
+      val avail = data.length - pos
       val b0 = data(pos) & 0xff
-      if (pos + 1 < data.length) {
-        val cands = byPrefix2((b0 << 8) | (data(pos + 1) & 0xff))
-        if (cands != null) {
-          var ci = 0
-          while (ci < cands.length) {
-            val code = cands(ci)
-            val sym = symbols(code)
-            val sl = sym.length
-            if (pos + sl <= data.length) {
-              var j = 2
-              while (j < sl && data(pos + j) == sym(j)) j += 1
-              if (j == sl) return (code << 8) | sl
-            }
-            ci += 1
+      if (avail >= 2) {
+        val k = (b0 << 8) | (data(pos + 1) & 0xff)
+        var i = prefStart(k)
+        val end = prefStart(k + 1)
+        if (i < end) {
+          val w = wordAt(data, pos, avail)
+          while (i < end) {
+            // candidates are longest-first: first hit IS the longest.
+            // len > avail can't hit: the zero-padded window would need
+            // the symbol's tail bytes to be zero, which the mask covers
+            // only within `len`, so require len <= avail explicitly.
+            val p = candPacked(i)
+            val len = p & 0xff
+            if (len <= avail && ((w ^ candWord(i)) & (-1L << ((8 - len) << 3))) == 0L) return p
+            i += 1
           }
         }
       }
