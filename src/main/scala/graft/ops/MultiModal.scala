@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * sums from the same source values the WAV was built from).
   * IMAGE decode is REAL: [[Png]] is a dependency-free PNG parser
   * (CRC-checked chunks, JDK Inflater, all five row filters, gray /
-  * RGB / palette / alpha) feeding dimensions + grid-luminance
-  * features — oracled end to end by `media_png_features`. Only VIDEO
-  * (and JPEG entropy decode) remains STUBBED (no codec libraries in
-  * this container): `fakeDecode` produces a deterministic feature
-  * vector from the bytes, standing in for decode + model inference,
+  * RGB / palette / alpha) and [[Jpeg]] is a dependency-free baseline
+  * JPEG decoder (canonical Huffman entropy decode, dequant + IDCT,
+  * chroma upsampling, restart markers), both feeding dimensions +
+  * grid-luminance features — oracled end to end by
+  * `media_png_features` / `media_jpeg_features`. Only VIDEO remains
+  * STUBBED (no codec libraries in this container): `fakeDecode`
+  * produces a deterministic feature vector from the bytes, standing
+  * in for decode + model inference,
   * while everything Spark-side — binary schema, partitioning, batch
   * shape, null handling, the feature pipeline — is real and tested.
   * The binary codec path itself (BinaryType through ChunkCodec) is
@@ -220,15 +223,24 @@ object MultiModal {
           MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None, None, None, None)
         else {
           val bytes = r.getAs[Array[Byte]](mIdx)
-          // wav + png → REAL decodes (None for malformed payloads,
-          // fail-soft); jpeg/video → stub embedding
+          // wav + png + jpeg → REAL decodes (None for malformed
+          // payloads, fail-soft); video → stub embedding
           val audio = WavPcm.decode(bytes).map(WavPcm.features)
           val kind = sniffType(bytes)
-          val img = if (kind == "png") Png.decode(bytes) else None
-          val emb = img.map(im => Png.gridLuma(im)).getOrElse(fakeDecode(bytes))
+          val (dims, emb): (Option[(Int, Int, Int)], Array[Float]) = kind match {
+            case "png" =>
+              val im = Png.decode(bytes)
+              (im.map(i => (i.width, i.height, i.channels)),
+                im.map(i => Png.gridLuma(i)).getOrElse(fakeDecode(bytes)))
+            case "jpeg" =>
+              val im = Jpeg.decode(bytes)
+              (im.map(i => (i.width, i.height, i.channels)),
+                im.map(i => Jpeg.gridLuma(i)).getOrElse(fakeDecode(bytes)))
+            case _ => (None, fakeDecode(bytes))
+          }
           MediaFeatures(id, kind, bytes.length, byteEntropy(bytes),
             emb, audio.map(_.rmsUnit), audio.map(_.zeroCrossings),
-            img.map(_.width), img.map(_.height), img.map(_.channels))
+            dims.map(_._1), dims.map(_._2), dims.map(_._3))
         }
       }
     }(Encoders.product[MediaFeatures]).toDF()
@@ -242,7 +254,7 @@ object MultiModal {
     spark.range(0, n, 1, parts).map { id =>
       val h = mix(42L ^ id)
       val kind = (h & 3).toInt
-      // noise body only for the kinds that ship one (jpeg/mp3 blobs)
+      // noise body only for the kinds that ship one (mp3 blobs)
       def noise(): Array[Byte] = {
         val len = 256 + ((h >>> 8) & 0x3ff).toInt
         val b = new Array[Byte](len)
@@ -253,8 +265,22 @@ object MultiModal {
       }
       kind match {
         case 0 =>
-          val b = noise()
-          b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte; (id, b)
+          // a REAL baseline JPEG (ImageIO-encoded noisy raster), so
+          // featurize's jpeg path exercises the real [[Jpeg]] decoder
+          val w = 24 + ((h >>> 16) & 15).toInt
+          val ht = 16 + ((h >>> 24) & 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var z = h
+          var y = 0
+          while (y < ht) {
+            var x2 = 0
+            while (x2 < w) { z = mix(z); img.setRGB(x2, y, (z & 0xffffff).toInt); x2 += 1 }
+            y += 1
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bo)
+          (id, bo.toByteArray)
         case 1 =>
           // a REAL parseable PNG (ImageIO-encoded noisy raster), so
           // featurize's image path decodes; noise keeps entropy high

@@ -1065,6 +1065,75 @@ object Queries {
       |  CAST(sum((x * 23 + y * 5 + vec_id * 3) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY vec_id, w, h ORDER BY vec_id""".stripMargin
 
+  /** Real baseline-JPEG decode, oracled end-to-end — the lossy-codec
+    * twin of [[mediaPngFeatures]]. JPEG is lossy in general, so the
+    * fixture pins the one regime every conformant codec preserves
+    * EXACTLY: constant 8x8 tiles at compression quality 1.0 (libjpeg
+    * quality 100 → all-ones quant tables). A constant tile's DCT is
+    * DC-only; the all-ones table keeps the DC bit-exact; the IDCT of a
+    * DC-only block is that constant again. The bytes come from the
+    * JDK's ImageIO JPEG writer — an INDEPENDENT encoder — and are
+    * decoded by graft's own [[Jpeg]] (marker parse, canonical Huffman
+    * entropy decode, dequant, IDCT) on the executors. Features are
+    * integer-exact gray sums, so DuckDB recomputes them from the tile
+    * formula without seeing a JPEG byte: any Huffman/EXTEND/dequant/
+    * IDCT/DC-predictor bug breaks the hash. Lossy full-detail and
+    * subsampled-color paths are tolerance-verified against the JDK's
+    * own decoder in JpegSpec.
+    */
+  def mediaJpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    t(s, dir, "embeddings").select(col("vec_id")).where(col("vec_id") < 12)
+      .map { r =>
+        val id = r.getLong(0)
+        val tw = 2 + (id % 3).toInt
+        val th = 1 + (id % 2).toInt
+        val w = 8 * tw; val h = 8 * th
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (((x / 8) * 37 + (y / 8) * 11 + id * 7) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val bo = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        ios.close()
+        writer.dispose()
+        val dec = Jpeg.decode(bo.toByteArray)
+          .getOrElse(throw new IllegalStateException(s"unparseable fixture jpeg for vec $id"))
+        require(dec.channels == 1, s"expected grayscale, got ${dec.channels} channels")
+        JpegFeatRow(id, dec.width.toLong, dec.height.toLong, dec.channels.toLong,
+          Jpeg.channelSums(dec)(0))
+      }(Encoders.product[JpegFeatRow])
+      .toDF()
+      .orderBy("vec_id")
+  }
+
+  val mediaJpegFeaturesSql: String =
+    """WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 12),
+      |tiles AS (
+      |  SELECT vec_id, 2 + vec_id % 3 AS tw, 1 + vec_id % 2 AS th,
+      |         txs.range AS tx, tys.range AS ty
+      |  FROM ids CROSS JOIN range(0, 4) txs CROSS JOIN range(0, 2) tys
+      |  WHERE txs.range < 2 + vec_id % 3 AND tys.range < 1 + vec_id % 2)
+      |SELECT vec_id,
+      |  CAST(8 * tw AS BIGINT) AS width, CAST(8 * th AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(sum(64 * ((tx * 37 + ty * 11 + vec_id * 7) % 256)) AS BIGINT) AS sum_gray
+      |FROM tiles GROUP BY vec_id, tw, th ORDER BY vec_id""".stripMargin
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -1882,6 +1951,7 @@ object Queries {
     "sim_ivf_store_topk" -> (simIvfStoreTopK _),
     "media_wav_features" -> (mediaWavFeatures _),
     "media_png_features" -> (mediaPngFeatures _),
+    "media_jpeg_features" -> (mediaJpegFeatures _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -1945,6 +2015,7 @@ object Queries {
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
     "media_wav_features" -> mediaWavFeaturesSql,
     "media_png_features" -> mediaPngFeaturesSql,
+    "media_jpeg_features" -> mediaJpegFeaturesSql,
     "q24_cum_prod" -> q24Sql,
     "roundtrip_complex" -> roundtripComplexSql,
     "dedup_simhash_recall" -> dedupSimhashRecallSql,
@@ -1994,3 +2065,9 @@ final case class WavFeatRow(vec_id: Long, n_samples: Long, sum_samples: Long,
   */
 final case class PngFeatRow(vec_id: Long, width: Long, height: Long, channels: Long,
                             sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Typed row for `media_jpeg_features` (integer-exact baseline-JPEG
+  * decode features); top-level for the same Janino reason.
+  */
+final case class JpegFeatRow(vec_id: Long, width: Long, height: Long, channels: Long,
+                             sum_gray: Long)

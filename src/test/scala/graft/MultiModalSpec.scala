@@ -189,7 +189,8 @@ class MultiModalSpec extends SparkTestBase {
     assert(png.count() > 0)
     assert(png.filter(col("imgWidth").isNull).count() == 0,
       "every synthetic png is a real image and must decode")
-    assert(feats.filter(col("mediaType") =!= "png")
+    // jpeg items ALSO decode now ([[Jpeg]]); audio/other kinds never do
+    assert(feats.filter(col("mediaType") =!= "png" && col("mediaType") =!= "jpeg")
       .filter(col("imgWidth").isNotNull).count() == 0)
     // grid-luma embeddings are unit-scaled, 16-dim
     val e = png.select(col("embedding")).head().getSeq[Float](0)
