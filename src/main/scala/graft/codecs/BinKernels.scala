@@ -304,9 +304,10 @@ object Fsst {
   private val ROUNDS = 3
 
   /** table: symbols(code) = bytes. Match dispatch follows the FSST
-    * paper's structure: a 2-byte-prefix table for symbols of length >= 2
-    * (few candidates per prefix) plus a direct 1-byte code array — so
-    * the per-input-byte work is a couple of loads, not a scan over all
+    * paper's structure: a 2-byte-prefix slab for symbols of length >= 3
+    * (few candidates per prefix) plus a 64Ki shortCodes table (first2)
+    * that decides length <= 2 matches with a single load — so the
+    * per-input-byte work is a couple of loads, not a scan over all
     * symbols sharing the first byte.
     *
     * The candidate slabs are FLAT primitive arrays and each candidate
@@ -319,7 +320,10 @@ object Fsst {
     * bytes are bit-identical to the scalar dispatch this replaces.
     */
   final class Table(val symbols: Array[Array[Byte]]) {
-    /** packed (code<<8 | 1) for 1-byte symbols, -1 otherwise */
+    /** packed (code<<8 | 1) for 1-byte symbols, -1 otherwise — the
+      * avail==1 tail path only; positions with 2+ bytes left go through
+      * [[first2]], which embeds this as its fallback.
+      */
     private val oneByte: Array[Int] = {
       val a = Array.fill(256)(-1)
       var c = 0
@@ -330,7 +334,28 @@ object Fsst {
       a
     }
 
-    // symbols of length >= 2, grouped by first-two-bytes into contiguous
+    /** first2(b0b1): packed (code<<8 | len) of the best symbol of
+      * length <= 2 at a position whose next two bytes are b0,b1 — the
+      * exact 2-byte symbol if one exists, else b0's 1-byte symbol,
+      * else -1 (escape). The paper's shortCodes table: after the
+      * (usually empty) >=3 slab check, ONE load fully decides the
+      * position, replacing the 2-byte slab scan + separate 1-byte
+      * fallback. 256 KiB per table, LLC-resident for the whole chunk.
+      */
+    private val first2: Array[Int] = {
+      val a = new Array[Int](65536)
+      var k = 0
+      while (k < 65536) { a(k) = oneByte(k >>> 8); k += 1 }
+      var c = 0
+      while (c < symbols.length) {
+        val s = symbols(c)
+        if (s.length == 2) a(((s(0) & 0xff) << 8) | (s(1) & 0xff)) = (c << 8) | 2
+        c += 1
+      }
+      a
+    }
+
+    // symbols of length >= 3, grouped by first-two-bytes into contiguous
     // slabs [prefStart(k), prefStart(k+1)), longest first within a slab:
     // candPacked = (code << 8) | len, candWord = the symbol's bytes
     // big-endian zero-padded, candMask = the word's high `len` bytes
@@ -341,7 +366,7 @@ object Fsst {
       var total = 0
       while (c < symbols.length) {
         val s = symbols(c)
-        if (s.length >= 2) {
+        if (s.length >= 3) {
           val k = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
           byPref.update(k, c :: byPref.getOrElse(k, Nil))
           total += 1
@@ -392,9 +417,8 @@ object Fsst {
       */
     def longestMatch(data: Array[Byte], pos: Int): Int = {
       val avail = data.length - pos
-      val b0 = data(pos) & 0xff
       if (avail >= 2) {
-        val k = (b0 << 8) | (data(pos + 1) & 0xff)
+        val k = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff)
         var i = prefStart(k)
         val end = prefStart(k + 1)
         if (i < end) {
@@ -410,8 +434,8 @@ object Fsst {
             i += 1
           }
         }
-      }
-      oneByte(b0)
+        first2(k)
+      } else oneByte(data(pos) & 0xff)
     }
   }
 

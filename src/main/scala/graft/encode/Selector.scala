@@ -100,7 +100,7 @@ object Selector {
     */
   def nsPerByte(p: Plan): Double = {
     val m: Double = p.method match {
-      case Method.FSST => 11.0 // ~94 MB/s measured (prefix2 dispatch, ctx reuse)
+      case Method.FSST => 9.7 // ~103 MB/s measured (flat-slab word-compare dispatch)
       case Method.DICT => 8.0
       case Method.BYTEPACK => 5.0
       case Method.RLE | Method.FOR_PACK | Method.DELTA_PACK | Method.SHUFFLE => 2.0
