@@ -129,17 +129,29 @@ object Jpeg {
       ((acc >>> nBits) & ((1L << n) - 1)).toInt
     }
 
-    /** Byte-align and consume an expected RSTn marker (T.81 E.1.4). */
+    /** Byte-align and consume an expected RSTn marker (T.81 E.1.4).
+      * Walks forward byte-wise rather than via fill(): fill() would pull
+      * a not-yet-buffered padding byte into `acc`, leaking pad bits into
+      * the next interval's data. Padding that lands on 0xFF is stuffed
+      * as FF 00 by the encoder and must be skipped too, not mistaken
+      * for a marker.
+      */
     def restart(): Boolean = {
-      nBits = 0; acc = 0L
-      if (!hitMarker) fill() // skip to the marker if not already there
-      // pos points AT the 0xff of the marker
-      if (pos + 1 >= data.length) return false
-      val m = data(pos + 1) & 0xff
-      if (m < 0xd0 || m > 0xd7) return false
-      pos += 2
-      hitMarker = false
-      true
+      nBits = 0; acc = 0L // drop buffered byte-boundary padding bits
+      while (pos + 1 < data.length) {
+        val b = data(pos) & 0xff
+        if (b != 0xff) pos += 1 // unbuffered pad byte
+        else {
+          val m = data(pos + 1) & 0xff
+          if (m == 0x00) pos += 2 // stuffed 0xFF pad byte
+          else if (m >= 0xd0 && m <= 0xd7) {
+            pos += 2
+            hitMarker = false
+            return true
+          } else return false // some other marker: malformed scan
+        }
+      }
+      false
     }
 
     def decodeHuff(h: Huff): Int = {
@@ -218,6 +230,11 @@ object Jpeg {
               return None
             c
           }
+          // A single-component scan is NON-interleaved (T.81 A.2.2):
+          // one data unit per MCU over ceil(w/8) x ceil(h/8), whatever
+          // sampling factors the SOF declares (they subsample nothing
+          // when there is no other component to be relative to).
+          if (nf == 1) comps = Array(comps(0).copy(hSamp = 1, vSamp = 1))
           pos += len
         case 0xc2 => return None // progressive: out of scope
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
