@@ -324,7 +324,7 @@ object Fsst {
       * avail==1 tail path only; positions with 2+ bytes left go through
       * [[first2]], which embeds this as its fallback.
       */
-    private val oneByte: Array[Int] = {
+    private lazy val oneByte: Array[Int] = {
       val a = Array.fill(256)(-1)
       var c = 0
       while (c < symbols.length) {
@@ -342,7 +342,7 @@ object Fsst {
       * position, replacing the 2-byte slab scan + separate 1-byte
       * fallback. 256 KiB per table, LLC-resident for the whole chunk.
       */
-    private val first2: Array[Int] = {
+    private lazy val first2: Array[Int] = {
       val a = new Array[Int](65536)
       var k = 0
       while (k < 65536) { a(k) = oneByte(k >>> 8); k += 1 }
@@ -359,7 +359,7 @@ object Fsst {
     // slabs [prefStart(k), prefStart(k+1)), longest first within a slab:
     // candPacked = (code << 8) | len, candWord = the symbol's bytes
     // big-endian zero-padded, candMask = the word's high `len` bytes
-    private val (prefStart, candPacked, candWord) = {
+    private lazy val (prefStart, candPacked, candWord) = {
       val starts = new Array[Int](65537)
       val byPref = new mutable.HashMap[Int, List[Int]]()
       var c = 0

@@ -144,6 +144,7 @@ object Jpeg {
         else {
           val m = data(pos + 1) & 0xff
           if (m == 0x00) pos += 2 // stuffed 0xFF pad byte
+          else if (m == 0xff) pos += 1 // fill byte before the marker (B.1.1.2)
           else if (m >= 0xd0 && m <= 0xd7) {
             pos += 2
             hitMarker = false
@@ -198,6 +199,7 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var adobeTransform = -1 // from APP14: 0=stored RGB, 1=YCbCr, 2=YCCK
     var pos = 2
 
     while (pos + 4 <= d.length) {
@@ -302,8 +304,20 @@ object Jpeg {
             i += 1
           }
           // Ss/Se/AhAl ignored (baseline: 0/63/0)
+          // Adobe APP14 transform=0 means 3 components are STORED as
+          // RGB, not YCbCr — out of the declared scope, so fail soft
+          // rather than run the YCbCr matrix over RGB planes and emit
+          // confidently wrong pixels.
+          if (comps.length == 3 && adobeTransform == 0) return None
           return decodeScan(d, pos + len, comps, quant, dcTabs, acTabs,
             width, height, restartInterval)
+        case 0xee => // APP14 (Adobe color-transform tag)
+          val len = be16(d, pos)
+          if (len < 2 || pos + len > d.length) return None
+          if (len >= 14 && d(pos + 2) == 'A' && d(pos + 3) == 'd' && d(pos + 4) == 'o' &&
+            d(pos + 5) == 'b' && d(pos + 6) == 'e')
+            adobeTransform = d(pos + 13) & 0xff
+          pos += len
         case _ => // APPn, COM, anything else with a length
           val len = be16(d, pos)
           if (len < 2 || pos + len > d.length) return None
@@ -337,6 +351,7 @@ object Jpeg {
     val dcPred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val blk = new Array[Byte](64)
+    val idctTmp = new Array[Double](64)
     var mcu = 0
     val nMcus = mcusX * mcusY
     while (mcu < nMcus) {
@@ -356,7 +371,7 @@ object Jpeg {
           while (h < c.hSamp) {
             if (!decodeBlock(br, dcTabs(c.dcTable), acTabs(c.acTable), qt, dcPred, ci, coef))
               return None
-            idctBlock(coef, blk)
+            idctBlock(coef, blk, idctTmp)
             // copy into the plane
             val bx = (mx * c.hSamp + h) * 8
             val by = (my * c.vSamp + v) * 8
@@ -457,7 +472,7 @@ object Jpeg {
     * standard DC-only fast path (exact for the constant-tile oracle
     * fixtures — a DC-only block IS constant).
     */
-  private def idctBlock(coef: Array[Int], out: Array[Byte]): Unit = {
+  private def idctBlock(coef: Array[Int], out: Array[Byte], tmp: Array[Double]): Unit = {
     var allZeroAc = true
     var i = 1
     while (i < 64 && allZeroAc) { if (coef(i) != 0) allZeroAc = false; i += 1 }
@@ -466,8 +481,8 @@ object Jpeg {
       java.util.Arrays.fill(out, v)
       return
     }
-    // rows (over u), then columns — tmp holds partially transformed data
-    val tmp = new Array[Double](64)
+    // rows (over u), then columns — caller-provided tmp holds the
+    // partially transformed data (hot MCU loop: no per-block alloc)
     var y = 0
     while (y < 8) {
       var x = 0
@@ -505,31 +520,11 @@ object Jpeg {
     sums
   }
 
-  /** 4x4 grid mean-luma embedding (same shape as [[Png.gridLuma]]) so
-    * decoded JPEGs flow into the similarity pipeline.
+  /** Grid mean-luma embedding — delegates to [[Png.gridLuma]] over the
+    * structurally identical raster (pixels array is shared, no copy) so
+    * PNG- and JPEG-decoded images land in ONE embedding space with the
+    * same integer luma arithmetic.
     */
-  def gridLuma(img: Image): Array[Float] = {
-    val g = 4
-    val acc = new Array[Double](g * g)
-    val cnt = new Array[Int](g * g)
-    var y = 0
-    while (y < img.height) {
-      val gy = y * g / img.height
-      var x = 0
-      while (x < img.width) {
-        val gx = x * g / img.width
-        val o = (y * img.width + x) * img.channels
-        val luma =
-          if (img.channels >= 3)
-            0.299 * (img.pixels(o) & 0xff) + 0.587 * (img.pixels(o + 1) & 0xff) +
-              0.114 * (img.pixels(o + 2) & 0xff)
-          else (img.pixels(o) & 0xff).toDouble
-        acc(gy * g + gx) += luma
-        cnt(gy * g + gx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    Array.tabulate(g * g)(i => if (cnt(i) == 0) 0f else (acc(i) / cnt(i) / 255.0).toFloat)
-  }
+  def gridLuma(img: Image, grid: Int = 4): Array[Float] =
+    Png.gridLuma(Png.Image(img.width, img.height, img.channels, img.pixels), grid)
 }

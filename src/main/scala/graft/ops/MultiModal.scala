@@ -158,10 +158,10 @@ object MultiModal {
       mediaType: String, // sniffed from magic bytes
       sizeBytes: Int,
       byteEntropy: Double, // Shannon entropy of the byte histogram
-      embedding: Array[Float], // REAL grid-luma for decodable PNGs; stub otherwise
+      embedding: Array[Float], // REAL grid-luma for decodable PNGs/JPEGs; stub otherwise
       audioRms: Option[Double], // REAL WavPcm decode (wav items only)
       audioZeroCross: Option[Long],
-      imgWidth: Option[Int], // REAL Png decode (well-formed png items only)
+      imgWidth: Option[Int], // REAL Png/Jpeg decode (well-formed image items only)
       imgHeight: Option[Int],
       imgChannels: Option[Int]
   )
@@ -263,41 +263,28 @@ object MultiModal {
         while (i < len) { x = mix(x); b(i) = (x & 0xff).toByte; i += 1 }
         b
       }
+      // a REAL ImageIO-encoded noisy raster in the given container, so
+      // featurize's image paths exercise the real [[Jpeg]]/[[Png]]
+      // decoders; noise keeps entropy high
+      def encodedImage(fmt: String): Array[Byte] = {
+        val w = 24 + ((h >>> 16) & 15).toInt
+        val ht = 16 + ((h >>> 24) & 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var z = h
+        var y = 0
+        while (y < ht) {
+          var x2 = 0
+          while (x2 < w) { z = mix(z); img.setRGB(x2, y, (z & 0xffffff).toInt); x2 += 1 }
+          y += 1
+        }
+        val bo = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bo)
+        bo.toByteArray
+      }
       kind match {
-        case 0 =>
-          // a REAL baseline JPEG (ImageIO-encoded noisy raster), so
-          // featurize's jpeg path exercises the real [[Jpeg]] decoder
-          val w = 24 + ((h >>> 16) & 15).toInt
-          val ht = 16 + ((h >>> 24) & 7).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var z = h
-          var y = 0
-          while (y < ht) {
-            var x2 = 0
-            while (x2 < w) { z = mix(z); img.setRGB(x2, y, (z & 0xffffff).toInt); x2 += 1 }
-            y += 1
-          }
-          val bo = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bo)
-          (id, bo.toByteArray)
-        case 1 =>
-          // a REAL parseable PNG (ImageIO-encoded noisy raster), so
-          // featurize's image path decodes; noise keeps entropy high
-          val w = 24 + ((h >>> 16) & 15).toInt
-          val ht = 16 + ((h >>> 24) & 7).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var z = h
-          var y = 0
-          while (y < ht) {
-            var x2 = 0
-            while (x2 < w) { z = mix(z); img.setRGB(x2, y, (z & 0xffffff).toInt); x2 += 1 }
-            y += 1
-          }
-          val bo = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bo)
-          (id, bo.toByteArray)
+        case 0 => (id, encodedImage("jpg"))
+        case 1 => (id, encodedImage("png"))
         case 2 =>
           // a REAL parseable PCM clip, so featurize's wav path decodes
           val ns = 64 + ((h >>> 8) & 0x3f).toInt

@@ -167,8 +167,7 @@ class JpegSpec extends SparkTestBase {
     val img = grayImage(32, 32)((x, y) => (x * y) % 256)
     val ok = writeJpeg(img, 0.9f)
     assert(Jpeg.decode(ok).isDefined)
-    assert(Jpeg.decode(java.util.Arrays.copyOf(ok, ok.length / 2)).isEmpty ||
-      Jpeg.decode(java.util.Arrays.copyOf(ok, ok.length / 2)).isDefined == false)
+    assert(Jpeg.decode(java.util.Arrays.copyOf(ok, ok.length / 2)).isEmpty)
     // forged SOF dimensions past MAX_PIXELS
     val forged = ok.clone()
     val sof = { // find 0xffc0
@@ -183,6 +182,25 @@ class JpegSpec extends SparkTestBase {
     forged(sof + 5) = 0x7f.toByte; forged(sof + 6) = 0xff.toByte // height = 32767
     forged(sof + 7) = 0x7f.toByte; forged(sof + 8) = 0xff.toByte // width = 32767
     assert(Jpeg.decode(forged).isEmpty, "1 Gpx forged SOF must be rejected")
+  }
+
+  test("Adobe APP14 transform=0 (stored RGB) fails soft; transform=1 (YCbCr) decodes") {
+    val img = grayImage(16, 16)((x, y) => (x * 9 + y * 5) % 256)
+    val rgb = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) rgb.setRGB(x, y, img.getRaster.getSample(x, y, 0) * 0x010101)
+    val base = writeJpeg(rgb, 0.9f)
+    def withApp14(transform: Int): Array[Byte] = {
+      val seg = Array[Byte](0xff.toByte, 0xee.toByte, 0x00, 0x0e,
+        'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, transform.toByte)
+      val out = new Array[Byte](base.length + seg.length)
+      out(0) = base(0); out(1) = base(1) // SOI
+      System.arraycopy(seg, 0, out, 2, seg.length)
+      System.arraycopy(base, 2, out, 2 + seg.length, base.length - 2)
+      out
+    }
+    assert(Jpeg.decode(withApp14(0)).isEmpty,
+      "3-component stored-RGB (transform=0) must fail soft, not garble colors")
+    assert(Jpeg.decode(withApp14(1)).isDefined, "explicit YCbCr tag decodes normally")
   }
 
   test("featurize routes jpeg items through the real decoder (dims + grid-luma)") {
