@@ -534,16 +534,34 @@ object Fsst {
     o
   }
 
+  /** Two passes — exact-size the output from the code stream, then
+    * fill. No growth buffer, no final copy: one allocation per value
+    * on the decode hot path (runs once per encoded value per chunk).
+    */
   def decompress(t: Table, enc: Array[Byte]): Array[Byte] = {
-    val w = new Bytes.Writer(enc.length * 3)
+    val syms = t.symbols
+    var outLen = 0
     var pos = 0
     while (pos < enc.length) {
       val code = enc(pos) & 0xff
       pos += 1
-      if (code == ESCAPE) { w.putByte(enc(pos) & 0xff); pos += 1 }
-      else w.putBytes(t.symbols(code))
+      if (code == ESCAPE) { outLen += 1; pos += 1 }
+      else outLen += syms(code).length
     }
-    w.result()
+    val out = new Array[Byte](outLen)
+    var o = 0
+    pos = 0
+    while (pos < enc.length) {
+      val code = enc(pos) & 0xff
+      pos += 1
+      if (code == ESCAPE) { out(o) = enc(pos); o += 1; pos += 1 }
+      else {
+        val s = syms(code)
+        if (s.length == 1) { out(o) = s(0); o += 1 }
+        else { System.arraycopy(s, 0, out, o, s.length); o += s.length }
+      }
+    }
+    out
   }
 
   def writeTable(t: Table, w: Bytes.Writer): Unit = {

@@ -383,6 +383,38 @@ object ChunkCodec {
     }
   }
 
+  /** Payload sizes the `plans` (all sharing ONE method) would produce
+    * on `vec`: the method stage — the expensive half for FSST/DICT —
+    * runs once, the entropy stage per plan. Selector's escalation uses
+    * this so a same-method near-tie (fsst+zstd5 vs fsst+zstd3) does not
+    * pay the method encode twice on the large sample. Sizes omit the
+    * constant block header, which is identical across the plans (same
+    * method → same rawLen/n/nulls), so cost RANKING matches what
+    * full `encode(...).length` would give exactly.
+    */
+  def trialSizes(vec: ColVec, plans: Seq[Plan]): Seq[Int] = {
+    require(plans.nonEmpty && plans.forall(_.method == plans.head.method),
+      "trialSizes requires a single shared method")
+    val body = new Bytes.Writer(1 << 16)
+    val nulls = vec.nullCount
+    if (nulls > 0) writeValidity(vec.validity, body)
+    vec match {
+      case v: LongVec => LongKernels.encode(plans.head.method, v, body)
+      case v: DoubleVec => DoubleKernels.encode(plans.head.method, v, body)
+      case v: BinVec => BinKernels.encode(plans.head.method, v, body)
+    }
+    val rawLen = body.size
+    val dupHint = ldmHint(vec)
+    plans.map { p =>
+      if (p.entropy == Entropy.NONE) rawLen
+      else {
+        val ldm = p.entropy == Entropy.ZSTD && rawLen >= Entropy.LDM_MIN_BYTES && dupHint
+        val comp = Entropy.compressRange(p.entropy, p.level, body.rawBuffer, rawLen, ldm)
+        if (comp.length < rawLen) comp.length else rawLen
+      }
+    }
+  }
+
   def decode(block: Array[Byte]): ColVec = {
     val r = new Bytes.Reader(block)
     require(r.getByte() == MAGIC, "bad magic")

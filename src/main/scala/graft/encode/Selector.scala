@@ -160,7 +160,20 @@ object Selector {
       if (big.n > s.n) {
         val bBytes = vecBytes(big)
         val (a, b) = (scored.head._1, scored(1)._1)
-        return if (trialCost(big, bBytes, a) <= trialCost(big, bBytes, b)) a else b
+        // same-method finalists (the common fsst+zstd5 vs fsst+zstd3
+        // tie): run the method stage once on the large sample, trial
+        // only the entropy stages — identical ranking, half the cost
+        val (ca, cb) =
+          if (a.method == b.method)
+            try {
+              val sz = ChunkCodec.trialSizes(big, Seq(a, b))
+              (sz(0) + nsPerByte(a) * bBytes * TIME_PRICE,
+                sz(1) + nsPerByte(b) * bBytes * TIME_PRICE)
+            } catch {
+              case _: Throwable => (trialCost(big, bBytes, a), trialCost(big, bBytes, b))
+            }
+          else (trialCost(big, bBytes, a), trialCost(big, bBytes, b))
+        return if (ca <= cb) a else b
       }
     }
     if (best == null) Plan(Method.PLAIN, Entropy.ZSTD, ZSTD_LEVEL) else best
