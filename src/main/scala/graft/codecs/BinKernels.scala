@@ -460,7 +460,29 @@ object Fsst {
     var round = 0
     while (round < ROUNDS) {
       val table = new Table(symbols)
-      val gain = new mutable.HashMap[String, Long]()
+      // Gains keyed by the candidate's zero-padded big-endian word:
+      // len <= 7 leaves the word's low byte zero, so the length packs
+      // into the low 3 bits collision-free; len == 8 (full word) gets
+      // its own map. Primitive LongMaps replace the previous
+      // String-keyed HashMap, which allocated + hashed a String per
+      // input byte — the dominant train cost. Ranking below reproduces
+      // the String order exactly, so trained tables are bit-identical.
+      val gain7 = new mutable.LongMap[Long]() // key = word | len (1..7)
+      val gain8 = new mutable.LongMap[Long]() // key = word (len == 8)
+      @inline def wordOf(start: Int, len: Int): Long = {
+        var w = 0L
+        var j = 0
+        while (j < len) { w |= (s(start + j) & 0xffL) << (56 - 8 * j); j += 1 }
+        w
+      }
+      @inline def bump(start: Int, len: Int): Unit =
+        if (len == 8) {
+          val k = wordOf(start, 8)
+          gain8.update(k, gain8.getOrElse(k, 0L) + len)
+        } else {
+          val k = wordOf(start, len) | len
+          gain7.update(k, gain7.getOrElse(k, 0L) + len)
+        }
       var pos = 0
       var prevStart = -1
       var prevLen = 0
@@ -468,30 +490,39 @@ object Fsst {
         val m = table.longestMatch(s, pos)
         val curLen = if (m >= 0) m & 0xff else 1
         // candidate: this unit alone
-        val cur = new String(s, pos, curLen, java.nio.charset.StandardCharsets.ISO_8859_1)
-        gain.update(cur, gain.getOrElse(cur, 0L) + curLen)
+        bump(pos, curLen)
         // candidate: previous unit + this unit (BPE merge), capped at MAX_LEN
-        if (prevStart >= 0 && prevLen + curLen <= MAX_LEN) {
-          val merged = new String(s, prevStart, prevLen + curLen, java.nio.charset.StandardCharsets.ISO_8859_1)
-          gain.update(merged, gain.getOrElse(merged, 0L) + prevLen + curLen)
-        }
+        if (prevStart >= 0 && prevLen + curLen <= MAX_LEN) bump(prevStart, prevLen + curLen)
         prevStart = pos
         prevLen = curLen
         pos += curLen
       }
       // rank candidates by bytes saved: a len-L symbol with f uses saves
-      // f*(L-1) bytes (L>=2) or f bytes (L==1: code replaces escape+literal)
-      symbols = gain.iterator
-        .map { case (sym, covered) =>
-          val len = sym.length
+      // f*(L-1) bytes (L>=2) or f bytes (L==1: code replaces escape+literal).
+      // Ties break by symbol bytes ascending; (unsigned padded word, len)
+      // ascending IS that byte-lexicographic order (a proper prefix has
+      // zeros — or smaller bytes — where the longer symbol differs, and
+      // equal words mean one is the other's zero-extended prefix).
+      val ranked = (gain7.iterator.map { case (k, covered) => (k & ~7L, (k & 7L).toInt, covered) } ++
+        gain8.iterator.map { case (w, covered) => (w, 8, covered) })
+        .map { case (w, len, covered) =>
           val saved = if (len >= 2) covered * (len - 1) / len else covered
-          (sym, saved)
+          (w, len, saved)
         }
-        .filter(_._2 > 0)
+        .filter(_._3 > 0)
         .toArray
-        .sortBy { case (sym, saved) => (-saved, sym) }
-        .take(MAX_SYMBOLS)
-        .map(_._1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      scala.util.Sorting.stableSort(ranked, (a: (Long, Int, Long), b: (Long, Int, Long)) =>
+        if (a._3 != b._3) a._3 > b._3
+        else {
+          val c = java.lang.Long.compareUnsigned(a._1, b._1)
+          if (c != 0) c < 0 else a._2 < b._2
+        })
+      symbols = ranked.take(MAX_SYMBOLS).map { case (w, len, _) =>
+        val b = new Array[Byte](len)
+        var j = 0
+        while (j < len) { b(j) = ((w >>> (56 - 8 * j)) & 0xff).toByte; j += 1 }
+        b
+      }
       round += 1
     }
     new Table(symbols)
