@@ -320,11 +320,22 @@ object Fsst {
     * bytes are bit-identical to the scalar dispatch this replaces.
     */
   final class Table(val symbols: Array[Array[Byte]]) {
+    /** Encode-side match structures, built on first compress/train use:
+      * decode-side tables (readTable/decompress) only touch `symbols`
+      * and never pay the 256 KiB shortCodes build. Callers fetch this
+      * ONCE per value (not per byte), so the lazy-init check stays off
+      * the per-byte path.
+      */
+    lazy val dispatch: Dispatch = new Dispatch(symbols)
+  }
+
+  /** See [[Table]] — the flat-slab + shortCodes matcher. */
+  final class Dispatch(symbols: Array[Array[Byte]]) {
     /** packed (code<<8 | 1) for 1-byte symbols, -1 otherwise — the
       * avail==1 tail path only; positions with 2+ bytes left go through
       * [[first2]], which embeds this as its fallback.
       */
-    private lazy val oneByte: Array[Int] = {
+    private val oneByte: Array[Int] = {
       val a = Array.fill(256)(-1)
       var c = 0
       while (c < symbols.length) {
@@ -342,7 +353,7 @@ object Fsst {
       * position, replacing the 2-byte slab scan + separate 1-byte
       * fallback. 256 KiB per table, LLC-resident for the whole chunk.
       */
-    private lazy val first2: Array[Int] = {
+    private val first2: Array[Int] = {
       val a = new Array[Int](65536)
       var k = 0
       while (k < 65536) { a(k) = oneByte(k >>> 8); k += 1 }
@@ -359,7 +370,7 @@ object Fsst {
     // slabs [prefStart(k), prefStart(k+1)), longest first within a slab:
     // candPacked = (code << 8) | len, candWord = the symbol's bytes
     // big-endian zero-padded, candMask = the word's high `len` bytes
-    private lazy val (prefStart, candPacked, candWord) = {
+    private val (prefStart, candPacked, candWord) = {
       val starts = new Array[Int](65537)
       val byPref = new mutable.HashMap[Int, List[Int]]()
       var c = 0
@@ -459,7 +470,7 @@ object Fsst {
     var symbols = Array.empty[Array[Byte]]
     var round = 0
     while (round < ROUNDS) {
-      val table = new Table(symbols)
+      val matcher = new Table(symbols).dispatch
       // Gains keyed by the candidate's zero-padded big-endian word:
       // len <= 7 leaves the word's low byte zero, so the length packs
       // into the low 3 bits collision-free; len == 8 (full word) gets
@@ -487,7 +498,7 @@ object Fsst {
       var prevStart = -1
       var prevLen = 0
       while (pos < s.length) {
-        val m = table.longestMatch(s, pos)
+        val m = matcher.longestMatch(s, pos)
         val curLen = if (m >= 0) m & 0xff else 1
         // candidate: this unit alone
         bump(pos, curLen)
@@ -556,8 +567,9 @@ object Fsst {
         out(o) = ESCAPE.toByte; out(o + 1) = data(pos); o += 2; pos += 1
       }
     } else {
+      val matcher = t.dispatch // one lazy-init check per VALUE, not per byte
       while (pos < data.length) {
-        val m = t.longestMatch(data, pos)
+        val m = matcher.longestMatch(data, pos)
         if (m >= 0) { out(o) = (m >>> 8).toByte; o += 1; pos += m & 0xff }
         else { out(o) = ESCAPE.toByte; out(o + 1) = data(pos); o += 2; pos += 1 }
       }
