@@ -395,7 +395,16 @@ object ChunkCodec {
   def trialSizes(vec: ColVec, plans: Seq[Plan]): Seq[Int] = {
     require(plans.nonEmpty && plans.forall(_.method == plans.head.method),
       "trialSizes requires a single shared method")
-    val body = new Bytes.Writer(1 << 16)
+    // same raw-payload size hint as encode(): the ~1.5 MiB large-sample
+    // body would otherwise pay ~5 doubling grow-and-copy rounds
+    val sizeHint = vec match {
+      case v: BinVec =>
+        var t = 64L; var i = 0
+        while (i < v.n) { val x = v.values(i); if (x != null) t += x.length + 3; i += 1 }
+        math.min(t, Int.MaxValue / 2L).toInt
+      case v => v.n * 8 + 64
+    }
+    val body = new Bytes.Writer(math.max(1 << 10, sizeHint))
     val nulls = vec.nullCount
     if (nulls > 0) writeValidity(vec.validity, body)
     vec match {
@@ -404,7 +413,10 @@ object ChunkCodec {
       case v: BinVec => BinKernels.encode(plans.head.method, v, body)
     }
     val rawLen = body.size
-    val dupHint = ldmHint(vec)
+    // mirror encode()'s short-circuit order: the fingerprint scan only
+    // runs when some plan could actually use the wide window (samples
+    // are usually below LDM_MIN_BYTES, so this is almost always free)
+    lazy val dupHint = ldmHint(vec)
     plans.map { p =>
       if (p.entropy == Entropy.NONE) rawLen
       else {

@@ -163,16 +163,15 @@ object Selector {
         // same-method finalists (the common fsst+zstd5 vs fsst+zstd3
         // tie): run the method stage once on the large sample, trial
         // only the entropy stages — identical ranking, half the cost
+        def perPlan = (trialCost(big, bBytes, a), trialCost(big, bBytes, b))
         val (ca, cb) =
           if (a.method == b.method)
             try {
               val sz = ChunkCodec.trialSizes(big, Seq(a, b))
               (sz(0) + nsPerByte(a) * bBytes * TIME_PRICE,
                 sz(1) + nsPerByte(b) * bBytes * TIME_PRICE)
-            } catch {
-              case _: Throwable => (trialCost(big, bBytes, a), trialCost(big, bBytes, b))
-            }
-          else (trialCost(big, bBytes, a), trialCost(big, bBytes, b))
+            } catch { case _: Throwable => perPlan }
+          else perPlan
         return if (ca <= cb) a else b
       }
     }
