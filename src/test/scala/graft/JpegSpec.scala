@@ -184,6 +184,33 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.decode(forged).isEmpty, "1 Gpx forged SOF must be rejected")
   }
 
+  test("single-component scan is non-interleaved: declared 2x2 factors decode identically") {
+    // ImageIO always writes gray as 1x1, so patch the SOF sampling byte
+    // to 2x2 — per T.81 A.2.2 a one-component scan's data-unit grid is
+    // ceil(w/8) x ceil(h/8) REGARDLESS of declared factors, so the
+    // entropy stream is unchanged and a conformant decoder must produce
+    // the same pixels. (A decoder that walks factors as an interleaved
+    // MCU grid would read 4 blocks per MCU and garble everything.)
+    val img = grayImage(24, 16)((x, y) => (x * 13 + y * 7) % 256)
+    val base = writeJpeg(img, 1.0f)
+    var sof = -1
+    var i = 2
+    while (i + 1 < base.length && sof < 0) {
+      if ((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "SOF0 present")
+    assert((base(sof + 9) & 0xff) == 1, "one component")
+    assert((base(sof + 11) & 0xff) == 0x11, "writer used 1x1 factors")
+    val patched = base.clone()
+    patched(sof + 11) = 0x22.toByte
+    val want = Jpeg.decode(base).getOrElse(fail("unpatched gray did not parse"))
+    val got = Jpeg.decode(patched).getOrElse(fail("2x2-declared gray did not parse"))
+    assert(got.width == want.width && got.height == want.height)
+    assert(java.util.Arrays.equals(got.pixels, want.pixels),
+      "declared sampling factors must not change a single-component decode")
+  }
+
   test("Adobe APP14 transform=0 (stored RGB) fails soft; transform=1 (YCbCr) decodes") {
     val img = grayImage(16, 16)((x, y) => (x * 9 + y * 5) % 256)
     val rgb = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
