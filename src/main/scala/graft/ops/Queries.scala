@@ -729,6 +729,50 @@ object Queries {
 
   val dedupSimhashRecallSql: String = dedupMinhashRecallSql
 
+  /** Exact character-3-gram Jaccard over ALL pairs of a fixed doc slice
+    * (doc_id < 40 → 780 pairs): oracles the n-gram MEASURE itself —
+    * the complement of `dedup_ngram`, whose PAIR SET comes from seeded
+    * LSH candidates (engine-internal, rows-only). The 40x40 non-equi
+    * join is a deliberate harness-sized brute force, the same class as
+    * the recall oracles' truth sets — never run unbounded at scale
+    * (that is what the LSH candidate path is for).
+    */
+  def dedupNgramExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 40)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+    val iA = pairs.schema.fieldIndex("id_a")
+    val iB = pairs.schema.fieldIndex("id_b")
+    val tA = pairs.schema.fieldIndex("text_a")
+    val tB = pairs.schema.fieldIndex("text_b")
+    pairs.map { r =>
+      (r.getLong(iA), r.getLong(iB),
+        Dedup.ngramJaccard(r.getString(tA), r.getString(tB), 3))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "jac")
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB re-derives every pair's char-3-gram sets and the Jaccard
+    * division from the same texts: identical integer set sizes →
+    * identical IEEE division → identical rounded values.
+    */
+  val dedupNgramExactSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      |g AS (SELECT doc_id,
+      |        list_distinct([substring(text, CAST(i AS INT), 3)
+      |                       for i in range(1, greatest(length(text) - 1, 2))]) AS grams
+      |      FROM d)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |        len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1938,6 +1982,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_ngram_exact" -> (dedupNgramExact _),
     "dedup_simhash_recall" -> (dedupSimhashRecall _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_cosine" -> (simTopK _),
@@ -2013,6 +2058,7 @@ object Queries {
     "text_langid" -> textLangIdSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
+    "dedup_ngram_exact" -> dedupNgramExactSql,
     "media_wav_features" -> mediaWavFeaturesSql,
     "media_png_features" -> mediaPngFeaturesSql,
     "media_jpeg_features" -> mediaJpegFeaturesSql,
