@@ -244,6 +244,42 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("FSST dispatch equals a naive longest-match reference on adversarial tables (property)") {
+    // Random symbol sets over a 3-letter alphabet force dense 2-byte
+    // prefix collisions between 1/2-byte (shortCodes) and >=3-byte
+    // (slab) symbols — exactly the split the flat-slab + first2
+    // dispatch has to get right. Data adds a 4th letter so no-match
+    // escape positions occur, and the tail exercises avail < 8 loads.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 15) {
+      val syms = scala.collection.mutable.LinkedHashSet[Vector[Byte]]()
+      while (syms.size < 60) {
+        val len = 1 + rnd.nextInt(8)
+        syms += Vector.fill(len)(('a' + rnd.nextInt(3)).toByte)
+      }
+      val table = new Fsst.Table(syms.toArray.map(_.toArray))
+      val data = Array.fill(1500)(('a' + rnd.nextInt(4)).toByte)
+      def naive(pos: Int): Int = {
+        var best = -1
+        var c = 0
+        while (c < table.symbols.length) {
+          val s = table.symbols(c)
+          if (pos + s.length <= data.length &&
+            data.slice(pos, pos + s.length).sameElements(s) &&
+            (best < 0 || s.length > (best & 0xff))) best = (c << 8) | s.length
+          c += 1
+        }
+        best
+      }
+      val disp = table.dispatch
+      var pos = 0
+      while (pos < data.length) {
+        assert(disp.longestMatch(data, pos) == naive(pos), s"trial $trial pos $pos")
+        pos += 1
+      }
+    }
+  }
+
   test("selector choice always roundtrips (property)") {
     val gens = new java.util.Random(7)
     for (_ <- 0 until 20) {
