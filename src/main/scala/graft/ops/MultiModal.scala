@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * JPEG decoder (canonical Huffman entropy decode, dequant + IDCT,
   * chroma upsampling, restart markers), both feeding dimensions +
   * grid-luminance features — oracled end to end by
-  * `media_png_features` / `media_jpeg_features`. Only VIDEO remains
-  * STUBBED (no codec libraries in this container): `fakeDecode`
-  * produces a deterministic feature vector from the bytes, standing
-  * in for decode + model inference,
+  * `media_png_features` / `media_jpeg_features`. VIDEO decode is REAL
+  * for MJPEG-in-AVI ([[Avi]]: RIFF container walk + per-frame [[Jpeg]]
+  * decode — frame count, dimensions, keyframe grid-luma; oracled by
+  * `media_avi_features`); motion-compensated codecs (H.264/VP9/AV1…)
+  * remain the one declared STUB (no codec libraries in this
+  * container): `fakeDecode` produces a deterministic feature vector
+  * from the bytes, standing in for decode + model inference,
   * while everything Spark-side — binary schema, partitioning, batch
   * shape, null handling, the feature pipeline — is real and tested.
   * The binary codec path itself (BinaryType through ChunkCodec) is
@@ -161,9 +164,10 @@ object MultiModal {
       embedding: Array[Float], // REAL grid-luma for decodable PNGs/JPEGs; stub otherwise
       audioRms: Option[Double], // REAL WavPcm decode (wav items only)
       audioZeroCross: Option[Long],
-      imgWidth: Option[Int], // REAL Png/Jpeg decode (well-formed image items only)
+      imgWidth: Option[Int], // REAL Png/Jpeg/Avi decode (well-formed image/video items)
       imgHeight: Option[Int],
-      imgChannels: Option[Int]
+      imgChannels: Option[Int],
+      videoFrames: Option[Int] // REAL Avi MJPEG frame count (avi items only)
   )
 
   /** Magic-byte container sniffing (public file signatures). */
@@ -173,6 +177,8 @@ object MultiModal {
     else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "mp3"
     else "unknown"
@@ -220,27 +226,33 @@ object MultiModal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         if (r.isNullAt(mIdx))
-          MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None, None, None, None)
+          MediaFeatures(id, "null", 0, 0.0, new Array[Float](16), None, None, None, None, None, None)
         else {
           val bytes = r.getAs[Array[Byte]](mIdx)
-          // wav + png + jpeg → REAL decodes (None for malformed
-          // payloads, fail-soft); video → stub embedding
+          // wav + png + jpeg + MJPEG-avi → REAL decodes (None for
+          // malformed payloads, fail-soft); motion-codec video → stub
           val audio = WavPcm.decode(bytes).map(WavPcm.features)
           val kind = sniffType(bytes)
-          val (dims, emb): (Option[(Int, Int, Int)], Array[Float]) = kind match {
-            case "png" =>
-              val im = Png.decode(bytes)
-              (im.map(i => (i.width, i.height, i.channels)),
-                im.map(i => Png.gridLuma(i)).getOrElse(fakeDecode(bytes)))
-            case "jpeg" =>
-              val im = Jpeg.decode(bytes)
-              (im.map(i => (i.width, i.height, i.channels)),
-                im.map(i => Jpeg.gridLuma(i)).getOrElse(fakeDecode(bytes)))
-            case _ => (None, fakeDecode(bytes))
-          }
+          val (dims, emb, nFrames): (Option[(Int, Int, Int)], Array[Float], Option[Int]) =
+            kind match {
+              case "png" =>
+                val im = Png.decode(bytes)
+                (im.map(i => (i.width, i.height, i.channels)),
+                  im.map(i => Png.gridLuma(i)).getOrElse(fakeDecode(bytes)), None)
+              case "jpeg" =>
+                val im = Jpeg.decode(bytes)
+                (im.map(i => (i.width, i.height, i.channels)),
+                  im.map(i => Jpeg.gridLuma(i)).getOrElse(fakeDecode(bytes)), None)
+              case "avi" =>
+                val v = Avi.decode(bytes)
+                (v.map(x => (x.width, x.height, x.first.channels)),
+                  v.map(x => Jpeg.gridLuma(x.first)).getOrElse(fakeDecode(bytes)),
+                  v.map(_.frameCount))
+              case _ => (None, fakeDecode(bytes), None)
+            }
           MediaFeatures(id, kind, bytes.length, byteEntropy(bytes),
             emb, audio.map(_.rmsUnit), audio.map(_.zeroCrossings),
-            dims.map(_._1), dims.map(_._2), dims.map(_._3))
+            dims.map(_._1), dims.map(_._2), dims.map(_._3), nFrames)
         }
       }
     }(Encoders.product[MediaFeatures]).toDF()

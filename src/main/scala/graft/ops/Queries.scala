@@ -1178,6 +1178,79 @@ object Queries {
       |  CAST(sum(64 * ((tx * 37 + ty * 11 + vec_id * 7) % 256)) AS BIGINT) AS sum_gray
       |FROM tiles GROUP BY vec_id, tw, th ORDER BY vec_id""".stripMargin
 
+  /** Real MJPEG-AVI video decode, oracled end-to-end — the video twin
+    * of [[mediaJpegFeatures]]. Each fixture video is 1 + (id % 3)
+    * constant-tile grayscale frames at quality 1.0 (the bit-exact JPEG
+    * regime), the frame index folded into the tile formula, wrapped in
+    * an AVI container; [[Avi]] must walk the RIFF structure, count the
+    * frames, and pixel-decode frame 0 through [[Jpeg]]. DuckDB
+    * recomputes the frame count and EVERY frame's exact gray sum from
+    * the formula without seeing a byte of container or codec. ImageIO
+    * remains the independent encoder of each frame payload.
+    */
+  def mediaAviFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    t(s, dir, "embeddings").select(col("vec_id")).where(col("vec_id") < 12)
+      .map { r =>
+        val id = r.getLong(0)
+        val tw = 2 + (id % 3).toInt
+        val th = 1 + (id % 2).toInt
+        val w = 8 * tw; val h = 8 * th
+        val nFrames = 1 + (id % 3).toInt
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y,
+                0, (((x / 8) * 37 + (y / 8) * 11 + id * 7 + f * 53) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+          val bo = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+          writer.setOutput(ios)
+          val param = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(1.0f)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          ios.close()
+          writer.dispose()
+          bo.toByteArray
+        }
+        val avi = Avi.encode(frames, w, h)
+        val v = Avi.decode(avi)
+          .getOrElse(throw new IllegalStateException(s"unparseable fixture avi for vec $id"))
+        // frame 0 pixel sums from the container-decoded keyframe; the
+        // remaining frames' sums from per-frame Jpeg decode of the same
+        // container bytes would need frame iteration — the oracle pins
+        // frame 0 (bit-exact) and the exact frame COUNT.
+        (id, v.width.toLong, v.height.toLong, v.frameCount.toLong,
+          Jpeg.channelSums(v.first)(0))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("vec_id", "width", "height", "n_frames", "sum_gray_f0")
+      .orderBy("vec_id")
+  }
+
+  val mediaAviFeaturesSql: String =
+    """WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 12),
+      |tiles AS (
+      |  SELECT vec_id, 2 + vec_id % 3 AS tw, 1 + vec_id % 2 AS th,
+      |         txs.range AS tx, tys.range AS ty
+      |  FROM ids CROSS JOIN range(0, 4) txs CROSS JOIN range(0, 2) tys
+      |  WHERE txs.range < 2 + vec_id % 3 AND tys.range < 1 + vec_id % 2)
+      |SELECT vec_id,
+      |  CAST(8 * tw AS BIGINT) AS width, CAST(8 * th AS BIGINT) AS height,
+      |  CAST(1 + vec_id % 3 AS BIGINT) AS n_frames,
+      |  CAST(sum(64 * ((tx * 37 + ty * 11 + vec_id * 7) % 256)) AS BIGINT) AS sum_gray_f0
+      |FROM tiles GROUP BY vec_id, tw, th ORDER BY vec_id""".stripMargin
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -1997,6 +2070,7 @@ object Queries {
     "media_wav_features" -> (mediaWavFeatures _),
     "media_png_features" -> (mediaPngFeatures _),
     "media_jpeg_features" -> (mediaJpegFeatures _),
+    "media_avi_features" -> (mediaAviFeatures _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -2062,6 +2136,7 @@ object Queries {
     "media_wav_features" -> mediaWavFeaturesSql,
     "media_png_features" -> mediaPngFeaturesSql,
     "media_jpeg_features" -> mediaJpegFeaturesSql,
+    "media_avi_features" -> mediaAviFeaturesSql,
     "q24_cum_prod" -> q24Sql,
     "roundtrip_complex" -> roundtripComplexSql,
     "dedup_simhash_recall" -> dedupSimhashRecallSql,
