@@ -16,7 +16,8 @@ package graft.ops
   */
 object Avi {
 
-  /** Decoded video summary: frame COUNT is exact over the container;
+  /** Decoded video summary: frame COUNT is exact over the container up
+    * to [[MAX_FRAMES]] (the scan saturates there — ~9.7 h at 30 fps);
     * only the FIRST frame is pixel-decoded (the keyframe features the
     * pipeline extracts) — a full-frame decode of every frame is the
     * caller's loop if it wants one.
@@ -25,6 +26,11 @@ object Avi {
 
   /** Frame-chunk scan cap: a forged header must not loop unboundedly. */
   val MAX_FRAMES = 1 << 20
+
+  /** LIST nesting cap: real AVIs nest 2-3 deep (hdrl/movi/rec ); a
+    * crafted chain of nested LISTs must not overflow the stack.
+    */
+  val MAX_DEPTH = 64
 
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
@@ -35,7 +41,7 @@ object Avi {
 
   def decode(bytes: Array[Byte]): Option[Video] =
     try decodeImpl(bytes)
-    catch { case _: Exception | _: OutOfMemoryError => None }
+    catch { case _: Exception | _: OutOfMemoryError | _: StackOverflowError => None }
 
   private def decodeImpl(b: Array[Byte]): Option[Video] = {
     if (b == null || b.length < 24) return None
@@ -49,16 +55,19 @@ object Avi {
     /** Walk a chunk range; `inMovi` marks ranges where '##dc'/'##db'
       * chunks are frames ('movi' and its nested 'rec ' lists).
       */
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > MAX_DEPTH) return
       var pos = from
       while (pos + 8 <= to && frameCount < MAX_FRAMES) {
         val size = le32(b, pos + 4) & 0x7fffffff
         val dataStart = pos + 8
-        if (dataStart + size > to) return // truncated chunk: stop this range
+        // long arithmetic: a forged 2^31-ish size must not wrap negative
+        // and slip past this truncation guard
+        if (dataStart.toLong + size > to) return // truncated chunk: stop this range
         if (fourcc(b, pos, "LIST")) {
           if (size >= 4) {
             val isMovi = fourcc(b, dataStart, "movi") || fourcc(b, dataStart, "rec ")
-            walk(dataStart + 4, dataStart + size, inMovi || isMovi)
+            walk(dataStart + 4, dataStart + size, inMovi || isMovi, depth + 1)
           }
         } else if (inMovi && size > 0 &&
           b(pos + 2) == 'd' && (b(pos + 3) == 'c' || b(pos + 3) == 'b')) {
@@ -71,7 +80,7 @@ object Avi {
         pos = dataStart + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, end, inMovi = false)
+    walk(12, end, inMovi = false, depth = 0)
 
     if (frameCount == 0 || firstOff < 0) return None
     val firstBytes = java.util.Arrays.copyOfRange(b, firstOff, firstOff + firstLen)

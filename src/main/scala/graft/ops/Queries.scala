@@ -1125,6 +1125,34 @@ object Queries {
     * subsampled-color paths are tolerance-verified against the JDK's
     * own decoder in JpegSpec.
     */
+  /** ImageIO-encoded grayscale JPEG at compression quality 1.0 — the
+    * bit-exact constant-tile oracle regime SHARED by the jpeg and avi
+    * media queries (one copy, so the regime cannot drift between the
+    * two oracles).
+    */
+  private def grayJpegQ100(w: Int, h: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, sample(x, y)); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bo = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
+    bo.toByteArray
+  }
+
   def mediaJpegFeatures(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     t(s, dir, "embeddings").select(col("vec_id")).where(col("vec_id") < 12)
@@ -1133,29 +1161,8 @@ object Queries {
         val tw = 2 + (id % 3).toInt
         val th = 1 + (id % 2).toInt
         val w = 8 * tw; val h = 8 * th
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0, (((x / 8) * 37 + (y / 8) * 11 + id * 7) % 256).toInt)
-            x += 1
-          }
-          y += 1
-        }
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-        val bo = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(1.0f)
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-        ios.close()
-        writer.dispose()
-        val dec = Jpeg.decode(bo.toByteArray)
+        val bytes = grayJpegQ100(w, h)((x, y) => (((x / 8) * 37 + (y / 8) * 11 + id * 7) % 256).toInt)
+        val dec = Jpeg.decode(bytes)
           .getOrElse(throw new IllegalStateException(s"unparseable fixture jpeg for vec $id"))
         require(dec.channels == 1, s"expected grayscale, got ${dec.channels} channels")
         JpegFeatRow(id, dec.width.toLong, dec.height.toLong, dec.channels.toLong,
@@ -1198,30 +1205,8 @@ object Queries {
         val w = 8 * tw; val h = 8 * th
         val nFrames = 1 + (id % 3).toInt
         val frames = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y,
-                0, (((x / 8) * 37 + (y / 8) * 11 + id * 7 + f * 53) % 256).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-          val bo = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-          writer.setOutput(ios)
-          val param = writer.getDefaultWriteParam
-          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          param.setCompressionQuality(1.0f)
-          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-          ios.close()
-          writer.dispose()
-          bo.toByteArray
+          grayJpegQ100(w, h)((x, y) =>
+            (((x / 8) * 37 + (y / 8) * 11 + id * 7 + f * 53) % 256).toInt)
         }
         val avi = Avi.encode(frames, w, h)
         val v = Avi.decode(avi)

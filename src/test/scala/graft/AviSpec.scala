@@ -10,21 +10,7 @@ import graft.ops.{Avi, Jpeg}
   */
 class AviSpec extends SparkTestBase {
 
-  private def jpegFrame(w: Int, h: Int, quality: Float)(f: (Int, Int) => Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val r = img.getRaster
-    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, f(x, y))
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val bo = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-    writer.setOutput(ios)
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(quality)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close(); writer.dispose()
-    bo.toByteArray
-  }
+  import MediaFixtures.{grayJpeg => jpegFrame}
 
   test("MJPEG AVI roundtrips: frame count exact, keyframe pixels match direct JPEG decode") {
     val w = 24; val h = 16
