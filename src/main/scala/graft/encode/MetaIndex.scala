@@ -87,14 +87,23 @@ object MetaIndex {
     * chunks near 2^53 boundaries (the exact post-decode filter removes
     * them), never wrongly prune.
     */
-  def intersectsExpr(lo: String, hi: String): Column = {
-    val unbounded = col("minKey") === "" && col("maxKey") === ""
-    val isNum = col("dt").isin(numericDts: _*) || col("dt").startsWith("decimal")
-    val minD = when(col("minKey") === "", lit(Double.NegativeInfinity)).otherwise(col("minKey").cast("double"))
-    val maxD = when(col("maxKey") === "", lit(Double.PositiveInfinity)).otherwise(col("maxKey").cast("double"))
+  def intersectsExpr(lo: String, hi: String): Column =
+    intersectsExprOn(col("minKey"), col("maxKey"), col("dt"), lo, hi)
+
+  /** Parameterized variant over arbitrary zone-leaf columns — lets a
+    * MULTI-column candidate intersection run as one conjunctive filter
+    * over a single store scan (each chunk row carries every column's
+    * zone struct) instead of per-column scans joined back together.
+    */
+  def intersectsExprOn(minKey: Column, maxKey: Column, dt: Column,
+                       lo: String, hi: String): Column = {
+    val unbounded = minKey === "" && maxKey === ""
+    val isNum = dt.isin(numericDts: _*) || dt.startsWith("decimal")
+    val minD = when(minKey === "", lit(Double.NegativeInfinity)).otherwise(minKey.cast("double"))
+    val maxD = when(maxKey === "", lit(Double.PositiveInfinity)).otherwise(maxKey.cast("double"))
     val numHit = !(maxD < lit(lo).cast("double") || minD > lit(hi).cast("double"))
-    val strHit = (col("maxKey") === "" || col("maxKey") >= lit(lo)) &&
-      (col("minKey") === "" || col("minKey") <= lit(hi))
+    val strHit = (maxKey === "" || maxKey >= lit(lo)) &&
+      (minKey === "" || minKey <= lit(hi))
     unbounded || when(isNum, numHit).otherwise(strHit)
   }
 
@@ -130,6 +139,24 @@ object MetaIndex {
     zoneMetaFor(spark, storeDir, colName)
       .filter(intersectsExpr(lo, hi))
       .select("shard", "partId", "chunkId")
+
+  /** Chunk keys whose zones intersect EVERY (colName, lo, hi)
+    * predicate — the multi-column candidate intersection as ONE scan
+    * with a conjunctive filter. Row-identical to intersecting the
+    * per-column [[candidateKeys]] sets (each chunk row holds all
+    * columns' zone structs), but with no join and no extra scans —
+    * at 100 TB this reads the chunk metadata once instead of once per
+    * predicate column.
+    */
+  def candidateKeysAnd(spark: SparkSession, storeDir: String,
+                       preds: Seq[(String, String, String)]): DataFrame = {
+    val df = Snapshots.storeDf(spark, storeDir)
+    val cond = preds.map { case (c, lo, hi) =>
+      val f = StoreLayout.fieldName(c)
+      intersectsExprOn(col(s"$f.minKey"), col(s"$f.maxKey"), col(s"$f.dt"), lo, hi)
+    }.reduce(_ && _)
+    df.filter(cond).select("shard", "partId", "chunkId")
+  }
 
   /** Read only the surviving blocks. Few survivors → OR-of-ANDs pushed
     * into the parquet scan (shard prunes partition dirs, partId/chunkId

@@ -85,10 +85,16 @@ object QueryCache {
   /** Drop every entry of `storeDir` (any version) — called by
     * in-process mutation paths.
     */
-  def invalidate(storeDir: String): Unit = lru.synchronized {
-    val it = lru.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(storeDir + "@")) it.remove()
+  def invalidate(storeDir: String): Unit = {
+    lru.synchronized {
+      val it = lru.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(storeDir + "@")) it.remove()
+    }
+    RelCache.invalidate(storeDir)
   }
 
-  def clear(): Unit = lru.synchronized(lru.clear())
+  def clear(): Unit = {
+    lru.synchronized(lru.clear())
+    RelCache.clear()
+  }
 }

@@ -156,9 +156,18 @@ object IndexStore {
     * the parquet scan. `lo`/`hi` in the index key domain (long for
     * long-backed columns, raw string, double).
     */
+  /** The FULL index relation, served from the version-keyed RelCache
+    * (repeated probes re-opened the index parquet — and re-paid its
+    * listing/footer jobs — on every call).
+    */
+  private def fullIndexDf(spark: SparkSession, storeDir: String, colName: String): DataFrame = {
+    val p = fullPath(storeDir, colName)
+    graft.encode.RelCache.parquet(spark, p)(spark.read.parquet(p))
+  }
+
   def readFullRange(spark: SparkSession, storeDir: String, schema: StructType,
                     colName: String, lo: String, hi: String): DataFrame = {
-    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    val idx = fullIndexDf(spark, storeDir, colName)
     MetaIndex.flatOf(schema)(colName).dataType match {
       case StringType => idx.filter(col("key") >= lo && col("key") <= hi)
       case DoubleType | FloatType => idx.filter(col("key") >= lo.toDouble && col("key") <= hi.toDouble)
@@ -197,7 +206,8 @@ object IndexStore {
         throw new IllegalArgumentException("bucket index does not cover floating-point columns")
       case _ => bucketOfLong(value.toLong, nBuckets)
     }
-    val chunks = spark.read.parquet(bucketPath(storeDir, colName))
+    val bp = bucketPath(storeDir, colName)
+    val chunks = graft.encode.RelCache.parquet(spark, bp)(spark.read.parquet(bp))
       .filter(col("bucket") === bk) // pushed → row-group skip
       .select("shard", "partId", "chunkId").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
@@ -269,7 +279,8 @@ object IndexStore {
   def overlapChunks(spark: SparkSession, storeDir: String,
                     start: Long, count: Long): Array[(Int, Int, Long, Int, Long)] = {
     if (!exists(spark, offsetsPath(storeDir))) refreshOffsets(spark, storeDir)
-    spark.read.parquet(offsetsPath(storeDir))
+    val op = offsetsPath(storeDir)
+    graft.encode.RelCache.parquet(spark, op)(spark.read.parquet(op))
       .filter(col("startOff") < start + count && col("startOff") + col("nRows") > start)
       .select("shard", "partId", "chunkId", "nRows", "startOff")
       .collect()
@@ -314,7 +325,7 @@ object IndexStore {
                  colName: String, after: Option[SortCursor], k: Int,
                  ascending: Boolean = true): (DataFrame, Option[SortCursor]) = {
     require(k > 0, s"page size $k")
-    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    val idx = fullIndexDf(spark, storeDir, colName)
     val keyLit: String => org.apache.spark.sql.Column = MetaIndex.flatOf(schema)(colName).dataType match {
       case StringType => v => lit(v)
       case DoubleType | FloatType => v => lit(v.toDouble)
@@ -368,7 +379,7 @@ object IndexStore {
   def sortedSlice(spark: SparkSession, storeDir: String, schema: StructType,
                   colName: String, offset: Long, k: Int, ascending: Boolean = true): DataFrame = {
     require(offset >= 0 && k >= 0, s"bad window [$offset, ${offset + k})")
-    val idx = spark.read.parquet(fullPath(storeDir, colName))
+    val idx = fullIndexDf(spark, storeDir, colName)
     if (k == 0) return gather(spark, storeDir, schema, Map.empty)
     if (ascending && idx.columns.contains("rank")) {
       // rank-materialized index: the window is a PUSHED rank-range read
@@ -484,8 +495,7 @@ object Planner {
     * joins never touch a payload leaf).
     */
   def candidatesAnd(spark: SparkSession, storeDir: String, preds: Seq[Pred]): DataFrame =
-    preds.map(p => MetaIndex.candidateKeys(spark, storeDir, p.colName, p.lo, p.hi))
-      .reduce((a, b) => a.join(b, Seq("shard", "partId", "chunkId")))
+    MetaIndex.candidateKeysAnd(spark, storeDir, preds.map(p => (p.colName, p.lo, p.hi)))
 
   /** Plan an AND-of-range-predicates query: intersected zone chunk
     * count plus, per predicate, the single-column candidate count —

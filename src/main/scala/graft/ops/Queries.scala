@@ -1362,12 +1362,18 @@ object Queries {
     import s.implicits._
     val store = docStore(s, dir)
     val schema = t(s, dir, "documents").schema
-    val n = graft.encode.MetaAgg.count(s, store)
-    def mm(c: String) = graft.encode.MetaAgg.minMax(s, store, schema, c)
-    val (minId, maxId) = mm("doc_id")
-    val (minC, maxC) = mm("n_chars")
-    val (minL, maxL) = mm("lang")
-    val (minT, maxT) = mm("text")
+    // BATCHED metadata pass (r5 verdict ask #3): count + all four
+    // columns' min/max from ONE scan in ONE job (the per-column loop
+    // was 9 sequential driver-blocking jobs over the same zone rows);
+    // only `text` (unbounded zone keys) decodes its chunks, via one
+    // shared key-collect job + one decode job.
+    val mm = graft.encode.MetaAgg.minMaxAll(s, store, schema,
+      Seq("doc_id", "n_chars", "lang", "text"))
+    val n = mm.nRows
+    val (minId, maxId) = mm.byCol("doc_id")
+    val (minC, maxC) = mm.byCol("n_chars")
+    val (minL, maxL) = mm.byCol("lang")
+    val (minT, maxT) = mm.byCol("text")
     Seq((n, minId.get.asInstanceOf[Long], maxId.get.asInstanceOf[Long],
       minC.get.asInstanceOf[Long], maxC.get.asInstanceOf[Long],
       minL.get.asInstanceOf[String], maxL.get.asInstanceOf[String],
@@ -1394,11 +1400,11 @@ object Queries {
     import s.implicits._
     val store = docStore(s, dir)
     val schema = t(s, dir, "documents").schema
-    Seq((
-      graft.encode.MetaAgg.sumLong(s, store, schema, "n_chars").get,
-      graft.encode.MetaAgg.sumLong(s, store, schema, "doc_id").get,
-      graft.encode.MetaAgg.countNonNull(s, store, "text"),
-      graft.encode.MetaAgg.count(s, store)))
+    // BATCHED: both exact sums, the non-null count and the row count
+    // from ONE metadata scan in ONE job (was 4 sequential jobs).
+    val st = graft.encode.MetaAgg.stats(s, store, schema,
+      sumCols = Seq("n_chars", "doc_id"), nonNullCols = Seq("text"))
+    Seq((st.sums("n_chars").get, st.sums("doc_id").get, st.nonNull("text"), st.nRows))
       .toDF("sum_n_chars", "sum_doc_id", "nn_text", "n_rows")
   }
 
@@ -1419,9 +1425,12 @@ object Queries {
   def storeGroupCount(s: SparkSession, dir: String): DataFrame = {
     val store = docStore(s, dir)
     val schema = t(s, dir, "documents").schema
-    def gc(c: String) = graft.encode.MetaAgg.groupCount(s, store, schema, c)
-      .select(lit(c).as("col_name"), col("value"), col("cnt"))
-    gc("lang").union(gc("source")).union(gc("n_chars"))
+    // BATCHED: all three group-bys from ONE metadata scan (histograms
+    // explode lazily inside the caller's single action); the only eager
+    // work is one shared dead-chunk key collect, and only `n_chars`
+    // (histogram-dead) decodes its chunks. Was 3 sequential groupCounts
+    // = 17 driver-blocking jobs.
+    graft.encode.MetaAgg.groupCountAll(s, store, schema, Seq("lang", "source", "n_chars"))
       .orderBy("col_name", "value")
   }
 
@@ -1794,10 +1803,24 @@ object Queries {
     * maps; FULL indexes on doc_id and n_chars, BUCKET index on lang.
     */
   private val builtStores = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** CLUSTER-SAFE staging root for the persistent bench stores: the
+    * warehouse dir is the session's shared filesystem location (DFS on
+    * a real cluster), so executors can read what the driver staged — a
+    * `java.io.tmpdir` path is node-local and only works in local[*]
+    * (the same portability bug q21's CSV staging already fixed; r5
+    * verdict ask #5). Per-JVM suffix: concurrent Verify/Bench runs on
+    * one host must not share stores.
+    */
+  private def stagePath(s: SparkSession, kind: String, dir: String): String = {
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    s"$warehouse/_graft_stage/$kind-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
+  }
+
   private def docStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(dir, {
       val docs = t(s, dir, "documents")
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft-zstore-${Integer.toHexString(dir.hashCode)}"
+      val store = stagePath(s, "zstore", dir)
       graft.encode.StoreLayout.write(
         TableCodec.encode(docs, chunkRows = 512), docs.schema.fieldNames.toSeq, store)
       graft.index.IndexStore.createFull(s, store, docs.schema, "doc_id")
@@ -1810,26 +1833,41 @@ object Queries {
   /** Build the persistent stores/indexes the store/index/ANN queries
     * probe, WITHOUT running a probe — Bench calls this in setup so the
     * per-query timings measure probes, not one-time builds.
+    *
+    * The five builds are INDEPENDENT jobs, so they are submitted from a
+    * small thread pool (guide §2.6 "overlap independent jobs"): each
+    * build's straggler tail back-fills with the next build's tasks
+    * instead of idling the executors. Builds stay individually
+    * idempotent (TrieMap getOrElseUpdate), and the ivf stores reuse the
+    * embeddings scan concurrently without interference.
     */
   def prebuildStores(s: SparkSession, dir: String): Unit = {
-    docStore(s, dir)
-    annStore(s, dir)
-    axisAnnStore(s, dir)
-    ivfSeedStore(s, dir)
-    ivfStore(s, dir)
+    val builds: Seq[() => String] = Seq(
+      () => docStore(s, dir),
+      () => annStore(s, dir),
+      () => axisAnnStore(s, dir),
+      () => ivfSeedStore(s, dir),
+      () => ivfStore(s, dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = builds.map(b => pool.submit(new java.util.concurrent.Callable[String] {
+        override def call(): String = b()
+      }))
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
     ()
   }
 
   private def annStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(s"ann:$dir", {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-annstore-${Integer.toHexString(dir.hashCode)}"
+      val p = stagePath(s, "annstore", dir)
       Similarity.writeBucketedStore(t(s, dir, "embeddings"), "vec_id", "embedding", p, nPlanes = 6)
       p
     })
 
   private def axisAnnStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(s"annaxis:$dir", {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-annaxis-${Integer.toHexString(dir.hashCode)}"
+      val p = stagePath(s, "annaxis", dir)
       Similarity.writeBucketedStore(t(s, dir, "embeddings"), "vec_id", "embedding", p,
         nPlanes = 6, axis = true)
       p
@@ -1842,7 +1880,7 @@ object Queries {
     */
   private def ivfSeedStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(s"ivfseed:$dir", {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfseed-${Integer.toHexString(dir.hashCode)}"
+      val p = stagePath(s, "ivfseed", dir)
       val emb = t(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
@@ -1856,7 +1894,7 @@ object Queries {
     */
   private def ivfStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(s"ivf:$dir", {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-ivfstore-${Integer.toHexString(dir.hashCode)}"
+      val p = stagePath(s, "ivfstore", dir)
       val emb = t(s, dir, "embeddings")
       val cents = Ivf.train(emb, "vec_id", "embedding", c = 16, iters = 3)
       Ivf.writeIvfStore(emb, "vec_id", "embedding", p, cents)

@@ -202,6 +202,55 @@ class MetaIndexSpec extends SparkTestBase {
       s"MetaAgg metadata pass must not touch payload/sha: ${structs.toSeq}")
   }
 
+  test("MetaAgg batched: multi-column min/max + sums run as ONE metadata pass") {
+    import graft.encode.MetaAgg
+
+    // job-group bookkeeping: count the Spark jobs each batched call
+    // launches (statusTracker lags the listener bus slightly — the
+    // action has returned, so poll until the count stabilizes)
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      var ids = Array.empty[Int]
+      val deadline = System.nanoTime() + 2000000000L
+      while (ids.isEmpty && System.nanoTime() < deadline) {
+        ids = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+        if (ids.isEmpty) Thread.sleep(50)
+      }
+      Thread.sleep(200) // settle so a hypothetical SECOND job is visible
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+
+    // bounded columns only (repo/row_id/lang have exact zone keys) → no
+    // decode fallback → the whole batched min/max is a single job
+    var mm: MetaAgg.MinMaxAll = null
+    val n1 = jobsIn("metaagg-minmax-batch") {
+      mm = MetaAgg.minMaxAll(spark, storeDir, df.schema, Seq("repo", "row_id", "lang"))
+    }
+    // one aggregate over one scan; AQE materializes the agg's shuffle
+    // stage as its own job, so "one pass" = at most 2 jobs (the
+    // unbatched per-column loop measured 22)
+    assert(n1 <= 2, s"batched minMaxAll ran $n1 jobs, want <= 2")
+    assert(mm.nRows == 2000L)
+    val expR = df.agg(min("repo"), max("repo")).head()
+    assert(mm.byCol("repo")._1.contains(expR.getString(0)) &&
+      mm.byCol("repo")._2.contains(expR.getString(1)))
+    val expI = df.agg(min("row_id"), max("row_id")).head()
+    assert(mm.byCol("row_id")._1.contains(expI.getLong(0)) &&
+      mm.byCol("row_id")._2.contains(expI.getLong(1)))
+
+    // batched sums + non-null counts: also one job (no overflow here)
+    var st: MetaAgg.StoreStats = null
+    val n2 = jobsIn("metaagg-stats-batch") {
+      st = MetaAgg.stats(spark, storeDir, df.schema,
+        sumCols = Seq("row_id"), nonNullCols = Seq("repo", "content"))
+    }
+    assert(n2 <= 2, s"batched stats ran $n2 jobs, want <= 2")
+    assert(st.nRows == 2000L)
+    assert(st.sums("row_id").contains(df.agg(sum("row_id")).head().getLong(0)))
+    assert(st.nonNull("repo") == 2000L && st.nonNull("content") == 2000L)
+  }
+
   test("MetaAgg: exact sum / non-null count / histogram group-by, with decode fallbacks") {
     import graft.encode.{MetaAgg, StoreLayout}
     import org.apache.spark.sql.types.DecimalType
