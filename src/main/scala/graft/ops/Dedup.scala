@@ -83,23 +83,40 @@ object Dedup {
     * thousand docs) — never a production operator; the scale paths are
     * [[minhashDuplicates]] / [[simhashDuplicates]].
     */
+  /** Jaccard of two SORTED distinct string arrays (two-pointer
+    * intersection) — same sizes, hence the same IEEE division, as the
+    * Set-based [[wordShingleJaccard]].
+    */
+  private def sortedJaccard(a: Seq[String], b: Seq[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var common = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / (a.length + b.length - common).toDouble
+  }
+
   def bruteShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                k: Int, threshold: Double): DataFrame = {
     // spread the nested-loop's STREAM side: a small doc set usually
     // arrives as one file split, which would put every one of the n²/2
     // pair computations on a single core
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a")).repartition(par)
-    val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    val joined = a.join(b, col("id_a") < col("id_b"))
-    val (ia, ib, ta, tb) = (joined.schema.fieldIndex("id_a"), joined.schema.fieldIndex("id_b"),
-      joined.schema.fieldIndex("text_a"), joined.schema.fieldIndex("text_b"))
-    joined.map { r =>
-      (r.getLong(ia), r.getLong(ib),
-        wordShingleJaccard(r.getString(ta), r.getString(tb), k))
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-      .toDF("id_a", "id_b", "jaccard")
-      .filter(col("jaccard") >= threshold)
+    // tokenize ONCE per doc — the per-PAIR wordShingleJaccard rebuilt
+    // both docs' shingle sets for every one of the n²/2 pairs, i.e.
+    // each doc was re-tokenized n times (guide §1.2: fix per-task work
+    // after the job shape). Sorted distinct arrays + a two-pointer
+    // intersection give identical set sizes, hence identical values.
+    val shingleU = udf((t: String) => wordShingles(t, k).sorted.toSeq)
+    val sh = df.select(col(idCol), shingleU(col(textCol)).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")).repartition(par)
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val jacU = udf((x: Seq[String], y: Seq[String]) => sortedJaccard(x, y))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(jacU(col("sh_a"), col("sh_b")) >= threshold)
       .select("id_a", "id_b")
   }
 
