@@ -70,8 +70,12 @@ object Avi {
             walk(dataStart + 4, dataStart + size, inMovi || isMovi, depth + 1)
           }
         } else if (inMovi && size > 0 &&
+          b(pos) >= '0' && b(pos) <= '9' && b(pos + 1) >= '0' && b(pos + 1) <= '9' &&
           b(pos + 2) == 'd' && (b(pos + 3) == 'c' || b(pos + 3) == 'b')) {
-          // a '##dc'/'##db' stream chunk: MJPEG frames start with SOI
+          // a '##dc'/'##db' stream chunk — bytes 0-1 must be the ASCII
+          // stream-number digits, else any movi chunk whose id happens
+          // to end in dc/db with an SOI-prefixed payload would count
+          // as a video frame; MJPEG frames start with SOI
           if (size >= 2 && (b(dataStart) & 0xff) == 0xff && (b(dataStart + 1) & 0xff) == 0xd8) {
             if (firstOff < 0) { firstOff = dataStart; firstLen = size }
             frameCount += 1

@@ -138,10 +138,18 @@ object Jpeg {
       */
     def restart(): Boolean = {
       nBits = 0; acc = 0L // drop buffered byte-boundary padding bits
+      // Conformant streams pad with at most a few bytes before an RSTn;
+      // an unbounded skip would let a corrupted entropy segment silently
+      // resync at the NEXT restart marker and decode wrong pixels.
+      // Fail (-> None upstream) beyond a small pad budget instead.
+      var padBudget = 8
       while (pos + 1 < data.length) {
         val b = data(pos) & 0xff
-        if (b != 0xff) pos += 1 // unbuffered pad byte
-        else {
+        if (b != 0xff) { // unbuffered pad byte
+          padBudget -= 1
+          if (padBudget < 0) return false
+          pos += 1
+        } else {
           val m = data(pos + 1) & 0xff
           if (m == 0x00) pos += 2 // stuffed 0xFF pad byte
           else if (m == 0xff) pos += 1 // fill byte before the marker (B.1.1.2)
