@@ -128,19 +128,22 @@ object Dedup {
     */
   def verifyPairsShingleJaccard(df: DataFrame, idCol: String, textCol: String,
                                 pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val texts = df.select(col(idCol), col(textCol))
-    val withA = pairs.select("id_a", "id_b")
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-    val withB = withA
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-    val (ia, ib, ta, tb) = (withB.schema.fieldIndex("id_a"), withB.schema.fieldIndex("id_b"),
-      withB.schema.fieldIndex("text_a"), withB.schema.fieldIndex("text_b"))
-    withB.map { r =>
-      (r.getLong(ia), r.getLong(ib),
-        wordShingleJaccard(r.getString(ta), r.getString(tb), k))
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-      .toDF("id_a", "id_b", "jaccard")
-      .filter(col("jaccard") >= threshold)
+    // tokenize each doc ONCE per join side (docs collide in many
+    // candidate pairs, and the per-pair measure re-tokenized both sides
+    // for every pair; the old shape already streamed the full text
+    // table through both joins, so this adds no scan — it only moves
+    // tokenization below the join where it runs once per doc). Sorted
+    // distinct arrays + two-pointer intersection give identical set
+    // sizes, hence identical Jaccard values — same rewrite as
+    // bruteShingleJaccardPairs. `pairs` stays single-use: its upstream
+    // is the whole LSH pipeline and must not re-execute.
+    val shingleU = udf((t: String) => wordShingles(t, k).sorted.toSeq)
+    val sh = df.select(col(idCol), shingleU(col(textCol)).as("sh"))
+    val jacU = udf((x: Seq[String], y: Seq[String]) => sortedJaccard(x, y))
+    pairs.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jacU(col("sh_a"), col("sh_b")) >= threshold)
       .select("id_a", "id_b")
   }
 
