@@ -1823,10 +1823,18 @@ object Queries {
       val store = stagePath(s, "zstore", dir)
       graft.encode.StoreLayout.write(
         TableCodec.encode(docs, chunkRows = 512), docs.schema.fieldNames.toSeq, store)
-      graft.index.IndexStore.createFull(s, store, docs.schema, "doc_id")
-      graft.index.IndexStore.createFull(s, store, docs.schema, "n_chars")
-      graft.index.IndexStore.createBucket(s, store, docs.schema, "lang")
-      graft.index.IndexStore.refreshOffsets(s, store)
+      // the four post-write builds are independent read-only passes over
+      // the just-written store into distinct output dirs — overlap them
+      // (guide §2.6) so each build's tail back-fills with the next
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val steps: Seq[Runnable] = Seq(
+          () => graft.index.IndexStore.createFull(s, store, docs.schema, "doc_id"),
+          () => graft.index.IndexStore.createFull(s, store, docs.schema, "n_chars"),
+          () => graft.index.IndexStore.createBucket(s, store, docs.schema, "lang"),
+          () => graft.index.IndexStore.refreshOffsets(s, store))
+        steps.map(pool.submit(_)).foreach(_.get())
+      } finally pool.shutdown()
       store
     })
 
