@@ -46,13 +46,21 @@ object BenchExtra {
     var i = 0
     var all = false
     var repeat = 1
+    def argAfter(flag: String): String = {
+      require(i + 1 < args.length, s"$flag needs a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--plans" => plansDir = Some(args(i + 1)); i += 2
-        case "--suffix" => suffix = args(i + 1); i += 2
+        case "--plans" => plansDir = Some(argAfter("--plans")); i += 2
+        case "--suffix" => suffix = argAfter("--suffix"); i += 2
         case "--all" => all = true; i += 1
-        case "--repeat" => repeat = args(i + 1).toInt; i += 2
-        case q => names += q; i += 1
+        case "--repeat" => repeat = argAfter("--repeat").toInt; i += 2
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag $f")
+        case q =>
+          require(SparkEntry.queries.contains(q), s"unknown query '$q'")
+          names += q; i += 1
       }
     }
     val spark = Bench.session(cpus)

@@ -93,6 +93,45 @@ object MetaAgg {
     TableCodec.decode(blocks, StructType(Seq(MetaIndex.flatOf(schema)(colName))))
   }
 
+  /** Fallback-chunk keys per column, each bounded INDEPENDENTLY.
+    * Common case: the union of every column's flagged chunks fits
+    * MAX_PUSHDOWN_KEYS → ONE collect job serves all columns. Rare giant
+    * case: one count aggregate learns each column's own flagged count,
+    * then columns under the cap get their own pushed keys and only
+    * truly-oversized columns fall to the semi-join (None) — a column
+    * with few (or zero) fallback chunks never loses pushdown because a
+    * sibling column overflowed the shared cap.
+    * Result per column: Some(keys) (possibly empty = skip the decode
+    * branch entirely) or None (= decode via semi-join on `cond`).
+    */
+  private def fallbackKeys(meta: DataFrame, conds: Seq[(String, Column)]):
+      Map[String, Option[Seq[(Int, Int, Long)]]] = {
+    if (conds.isEmpty) return Map.empty
+    val flagged = meta
+      .filter(conds.map(_._2).reduce(_ || _))
+      .select(Seq(col("shard"), col("partId"), col("chunkId")) ++
+        conds.zipWithIndex.map { case ((_, e), i) => e.as(s"_f$i") }: _*)
+      .limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
+    if (flagged.length <= MetaIndex.MAX_PUSHDOWN_KEYS)
+      conds.zipWithIndex.map { case ((c, _), i) =>
+        c -> Some(flagged.filter(_.getBoolean(3 + i))
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+      }.toMap
+    else {
+      val cntAggs = conds.map { case (_, e) => sum(when(e, 1L).otherwise(0L)) }
+      val cnts = meta.agg(cntAggs.head, cntAggs.tail: _*).head()
+      conds.zipWithIndex.map { case ((c, e), i) =>
+        val n = if (cnts.isNullAt(i)) 0L else cnts.getLong(i)
+        if (n == 0L) c -> Some(Nil)
+        else if (n <= MetaIndex.MAX_PUSHDOWN_KEYS)
+          c -> Some(meta.filter(e).select("shard", "partId", "chunkId")
+            .limit(MetaIndex.MAX_PUSHDOWN_KEYS).collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+        else c -> None
+      }.toMap
+    }
+  }
+
   /** Exact SUM(col) for an integral-domain column, served from the
     * per-chunk `sumKey` accumulators: zero payload bytes unless a chunk
     * recorded an undefined sum (its running Long overflowed), in which
@@ -146,19 +185,7 @@ object MetaAgg {
     val needFb = sumCols.zipWithIndex.filter { case (_, i) =>
       val v = row.get(1 + i * 3 + 2); v != null && row.getLong(1 + i * 3 + 2) > 0L
     }.map(_._1)
-    val fbKeys: Map[String, Seq[(Int, Int, Long)]] =
-      if (needFb.isEmpty) Map.empty
-      else {
-        val flagged = meta
-          .filter(needFb.map(sumFallbackE).reduce(_ || _))
-          .select(Seq(col("shard"), col("partId"), col("chunkId")) ++
-            needFb.zipWithIndex.map { case (c, i) => sumFallbackE(c).as(s"_f$i") }: _*)
-          .limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
-        if (flagged.length > MetaIndex.MAX_PUSHDOWN_KEYS) null // semi-join path
-        else needFb.zipWithIndex.map { case (c, i) =>
-          c -> flagged.filter(_.getBoolean(3 + i)).map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-        }.toMap
-      }
+    val fbKeys = fallbackKeys(meta, needFb.map(c => c -> sumFallbackE(c)))
 
     val sums = sumCols.zipWithIndex.map { case (c, i) =>
       val nonNull = if (row.isNullAt(1 + i * 3 + 1)) 0L else row.getLong(1 + i * 3 + 1)
@@ -169,9 +196,10 @@ object MetaAgg {
           else BigInt(row.getDecimal(1 + i * 3).toBigIntegerExact) // decimal(38,0) — no fraction
         val nFb = if (row.isNullAt(1 + i * 3 + 2)) 0L else row.getLong(1 + i * 3 + 2)
         if (nFb > 0L) {
-          val decoded =
-            if (fbKeys != null) decodeByKeys(spark, storeDir, schema, c, fbKeys(c))
-            else decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(sumFallbackE(c)))
+          val decoded = fbKeys(c) match {
+            case Some(keys) => decodeByKeys(spark, storeDir, schema, c, keys)
+            case None => decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(sumFallbackE(c)))
+          }
           val dt = MetaIndex.flatOf(schema)(c).dataType
           val v = dt match {
             case BooleanType => when(col(c), 1L).otherwise(0L).cast(DecimalType(38, 0))
@@ -248,22 +276,17 @@ object MetaAgg {
       .select(col("c.col_name").as("col_name"), explode(col("c.entries")).as("e"))
       .select(col("col_name"), col("e.key").as("value"), col("e.value").as("cnt"))
 
-    // EAGER (one job): dead-histogram chunk keys for every column
-    val flagged = meta
-      .filter(cols.map(c => !aliveE(c)).reduce(_ || _))
-      .select(Seq(col("shard"), col("partId"), col("chunkId")) ++
-        cols.zipWithIndex.map { case (c, i) => (!aliveE(c)).as(s"_d$i") }: _*)
-      .limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
-    val pushable = flagged.length <= MetaIndex.MAX_PUSHDOWN_KEYS
+    // EAGER (one job): dead-histogram chunk keys for every column,
+    // bounded per column (a dead-heavy sibling cannot cost a clean
+    // column its pushed-keys path)
+    val deadKeys = fallbackKeys(meta, cols.map(c => c -> !aliveE(c)))
 
-    val decodedParts = cols.zipWithIndex.flatMap { case (c, i) =>
-      val decoded =
-        if (pushable) {
-          val keys = flagged.filter(_.getBoolean(3 + i))
-            .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-          if (keys.isEmpty) None
-          else Some(decodeByKeys(spark, storeDir, schema, c, keys))
-        } else Some(decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(!aliveE(c))))
+    val decodedParts = cols.flatMap { c =>
+      val decoded = deadKeys(c) match {
+        case Some(Nil) => None
+        case Some(keys) => Some(decodeByKeys(spark, storeDir, schema, c, keys))
+        case None => Some(decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(!aliveE(c))))
+      }
       decoded.map { df =>
         val domain = MetaIndex.flatOf(schema)(c).dataType match {
           case BooleanType => when(col(c), "1").otherwise("0")
@@ -333,20 +356,9 @@ object MetaAgg {
     val needFb = cols.zipWithIndex
       .filter { case (_, i) => !row.isNullAt(1 + i * 3 + 2) && row.getLong(1 + i * 3 + 2) > 0L }
       .map(_._1)
-    // ONE key-collect job for every column with unbounded chunks
-    val fbKeys: Map[String, Seq[(Int, Int, Long)]] =
-      if (needFb.isEmpty) Map.empty
-      else {
-        val flagged = meta
-          .filter(needFb.map(unboundedE).reduce(_ || _))
-          .select(Seq(col("shard"), col("partId"), col("chunkId")) ++
-            needFb.zipWithIndex.map { case (c, i) => unboundedE(c).as(s"_u$i") }: _*)
-          .limit(MetaIndex.MAX_PUSHDOWN_KEYS + 1).collect()
-        if (flagged.length > MetaIndex.MAX_PUSHDOWN_KEYS) null // semi-join path
-        else needFb.zipWithIndex.map { case (c, i) =>
-          c -> flagged.filter(_.getBoolean(3 + i)).map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-        }.toMap
-      }
+    // ONE key-collect job for every column with unbounded chunks,
+    // bounded per column
+    val fbKeys = fallbackKeys(meta, needFb.map(c => c -> unboundedE(c)))
 
     val byCol = cols.zipWithIndex.map { case (c, i) =>
       val boundedMin = if (row.isNullAt(1 + i * 3)) None else Some(row.get(1 + i * 3))
@@ -354,9 +366,10 @@ object MetaAgg {
       val nUnb = if (row.isNullAt(1 + i * 3 + 2)) 0L else row.getLong(1 + i * 3 + 2)
       if (nUnb == 0L) c -> (boundedMin, boundedMax)
       else {
-        val decoded =
-          if (fbKeys != null) decodeByKeys(spark, storeDir, schema, c, fbKeys(c))
-          else decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(unboundedE(c)))
+        val decoded = fbKeys(c) match {
+          case Some(keys) => decodeByKeys(spark, storeDir, schema, c, keys)
+          case None => decodeBySemiJoin(spark, storeDir, schema, c, meta.filter(unboundedE(c)))
+        }
         c -> foldDecoded(decoded, c, dts(c), boundedMin, boundedMax)
       }
     }.toMap

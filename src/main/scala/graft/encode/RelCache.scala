@@ -32,13 +32,18 @@ object RelCache {
 
   /** Cached analyzed relation for `path` at its current version, or
     * open-and-cache via `open` (which must read exactly `path`'s
-    * current content).
+    * current content). An entry bound to a different (e.g. stopped and
+    * rebuilt) SparkSession is evicted, never served — a DataFrame is
+    * session-bound, unlike the coordinate cache's plain arrays.
     */
   def parquet(spark: SparkSession, path: String)(open: => DataFrame): DataFrame = {
     val k = (path, QueryCache.version(spark, path))
     lru.synchronized {
       val hit = lru.get(k)
-      if (hit != null) return hit
+      if (hit != null) {
+        if ((hit.sparkSession eq spark) && !spark.sparkContext.isStopped) return hit
+        lru.remove(k); ()
+      }
     }
     val df = open
     lru.synchronized { lru.put(k, df); () }

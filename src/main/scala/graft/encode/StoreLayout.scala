@@ -73,8 +73,12 @@ object StoreLayout {
 
   /** Write blocks in the v2 layout, partitioned by lineage shard. */
   def write(blocks: Dataset[EncodedBlock], names: Seq[String], outDir: String,
-            mode: SaveMode = SaveMode.Overwrite): Unit =
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
     toStoreRows(blocks, names).write.mode(mode).partitionBy("shard").parquet(outDir)
+    // an in-place (re)write must drop any cached relation/coordinates
+    // of this dir — the mtime fallback cannot be trusted to tick
+    QueryCache.invalidate(outDir)
+  }
 
   /** Store rows with only `names`' struct columns in the scan schema —
     * parquet never reads sibling columns' payload pages. `names = null`

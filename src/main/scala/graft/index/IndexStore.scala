@@ -113,6 +113,7 @@ object IndexStore {
       spark.createDataFrame(ranked, StructType(sorted.schema.fields :+
           StructField("rank", LongType, nullable = false)))
         .write.mode("overwrite").parquet(out)
+      graft.encode.QueryCache.invalidate(out) // rebuilt index: drop its cached relation
     } finally { sorted.unpersist(); () }
   }
 
@@ -145,6 +146,7 @@ object IndexStore {
       .toDF("bucket", "shard", "partId", "chunkId")
       .repartitionByRange(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(bucketPath(storeDir, colName))
+    graft.encode.QueryCache.invalidate(bucketPath(storeDir, colName))
   }
 
   def bucketOfBytes(v: Array[Byte], nBuckets: Int): Int =
@@ -270,6 +272,7 @@ object IndexStore {
       .withColumn("startOff", col("shardBase") + col("inShard"))
       .select("shard", "partId", "chunkId", "nRows", "startOff")
       .write.mode("overwrite").parquet(offsetsPath(storeDir))
+    graft.encode.QueryCache.invalidate(offsetsPath(storeDir))
   }
 
   /** Chunks overlapping global row range [start, start+count) in

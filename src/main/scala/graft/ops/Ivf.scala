@@ -142,6 +142,7 @@ object Ivf {
       // one file per cell dir, not (shuffle partitions x cells) shards
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    graft.encode.QueryCache.invalidate(outDir) // drop cached relations of a rewritten store
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1814,8 +1814,38 @@ object Queries {
     */
   private def stagePath(s: SparkSession, kind: String, dir: String): String = {
     val warehouse = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    cleanStaleStage(s, s"$warehouse/_graft_stage")
     s"$warehouse/_graft_stage/$kind-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
   }
+
+  /** Reap stage dirs left by EXITED runs (the per-pid suffix isolates
+    * concurrent runs, so every completed run strands its stores): a
+    * `<kind>-<hash>-<pid>` entry whose pid is no longer alive is dead
+    * by construction and safe to delete. Runs once per JVM.
+    */
+  private lazy val cleanedStage = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def cleanStaleStage(s: SparkSession, stageRoot: String): Unit =
+    cleanedStage.getOrElseUpdate(stageRoot, {
+      try {
+        val p = new org.apache.hadoop.fs.Path(stageRoot)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val self = ProcessHandle.current().pid()
+          val pidRe = """.*-(\d+)$""".r
+          fs.listStatus(p).foreach { st =>
+            st.getPath.getName match {
+              case pidRe(pid) if pid.toLong != self && {
+                    val h = ProcessHandle.of(pid.toLong)
+                    !(h.isPresent && h.get().isAlive)
+                  } =>
+                fs.delete(st.getPath, true); ()
+              case _ => ()
+            }
+          }
+        }
+      } catch { case _: Exception => () } // cleanup is best-effort
+      true
+    })
 
   private def docStore(s: SparkSession, dir: String): String =
     builtStores.getOrElseUpdate(dir, {

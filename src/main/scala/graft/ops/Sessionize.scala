@@ -72,6 +72,13 @@ object Sessionize {
     * randomized hot-key fixture. Pick `sliceWidthUs` ≫ gapUs (so most
     * gaps resolve in-slice) and ≪ the hot key's span (so it yields many
     * slices); gapUs × ~1000 is a reasonable default.
+    *
+    * CONTRACT: `tsCol` must be non-null. [[assign]]'s incidental
+    * null-ts behavior (every null-ts row opens its own session via the
+    * null gap) is NOT replicated here — null timestamps have no
+    * well-defined slice, and the cross-slice ordinal base would
+    * under-count their boundaries. Filter or repair null timestamps
+    * upstream before slicing.
     */
   def assignSliced(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                    gapUs: Long, sliceWidthUs: Long): DataFrame = {

@@ -286,6 +286,7 @@ object Similarity {
       // (shuffle partitions × buckets) near-empty files
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    graft.encode.QueryCache.invalidate(outDir) // drop cached relations of a rewritten store
     writeAnnMeta(df.sparkSession, outDir, nPlanes, dim, seed, axis)
   }
 
