@@ -1872,25 +1872,40 @@ object Queries {
     * probe, WITHOUT running a probe — Bench calls this in setup so the
     * per-query timings measure probes, not one-time builds.
     *
-    * The five builds are INDEPENDENT jobs, so they are submitted from a
-    * small thread pool (guide §2.6 "overlap independent jobs"): each
-    * build's straggler tail back-fills with the next build's tasks
-    * instead of idling the executors. Builds stay individually
-    * idempotent (TrieMap getOrElseUpdate), and the ivf stores reuse the
-    * embeddings scan concurrently without interference.
+    * The five builds are INDEPENDENT jobs, so they are all submitted
+    * concurrently (guide §2.6 "overlap independent jobs"): each build's
+    * straggler tail back-fills with the next build's tasks instead of
+    * idling the executors, and the longest build (the trained-IVF
+    * store) starts at t=0 instead of queuing behind shorter ones.
+    * Builds stay individually idempotent (TrieMap getOrElseUpdate),
+    * and the ivf stores reuse the embeddings scan concurrently without
+    * interference.
     */
   def prebuildStores(s: SparkSession, dir: String): Unit = {
-    val builds: Seq[() => String] = Seq(
-      () => docStore(s, dir),
-      () => annStore(s, dir),
-      () => axisAnnStore(s, dir),
-      () => ivfSeedStore(s, dir),
-      () => ivfStore(s, dir))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val builds: Seq[(String, () => String)] = Seq(
+      "doc" -> (() => docStore(s, dir)),
+      "ann" -> (() => annStore(s, dir)),
+      "annaxis" -> (() => axisAnnStore(s, dir)),
+      "ivfseed" -> (() => ivfSeedStore(s, dir)),
+      "ivf" -> (() => ivfStore(s, dir)))
+    // one thread per build: the five builds are independent and mostly
+    // LATENCY-bound chains of small sequential jobs (the trained-IVF
+    // Lloyd/k-center init is ~20 driver-blocking jobs), so the wall for
+    // the whole prebuild is the longest single build — with a narrower
+    // pool the critical-path build queues behind shorter ones (measured
+    // per-build: ivf 6.9s started ~2.5s late behind ann/annaxis on a
+    // 3-thread pool). Stage concurrency stays small: each build issues
+    // tiny jobs one at a time, so this overlaps waiting, not shuffles.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.length)
     try {
-      val futures = builds.map(b => pool.submit(new java.util.concurrent.Callable[String] {
-        override def call(): String = b()
-      }))
+      val futures = builds.map { case (nm, b) => pool.submit(new java.util.concurrent.Callable[String] {
+        override def call(): String = {
+          val t0 = System.nanoTime()
+          val r = b()
+          System.err.println(f"[build] $nm ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+      }) }
       futures.foreach(_.get()) // propagate the first failure
     } finally pool.shutdown()
     ()
